@@ -1,0 +1,108 @@
+"""High-level front computation — the programmatic equivalent of the
+reference's ``main`` (src/aira.cpp:140-364) minus file I/O."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from moip_aira_tpu.core.store import Solutions
+from moip_aira_tpu.engine.scheduler import Scheduler
+from moip_aira_tpu.engine.worker_spec import WorkerSpec
+from moip_aira_tpu.parallel.cluster import build_cluster
+from moip_aira_tpu.parallel.split import (
+    MAX_WORKERS_NORMAL_SPLIT,
+    split_setup,
+)
+from moip_aira_tpu.parallel.symgroup import max_workers
+from moip_aira_tpu.problem import Problem
+from moip_aira_tpu.sense import INF, Sense
+
+
+@dataclasses.dataclass
+class FrontResult:
+    #: nondominated points, sorted descending, deduplicated — shape (f, k)
+    points: np.ndarray
+    ip_count: int
+    cpu_seconds: float
+    elapsed_seconds: float
+    rounds: int = 0
+    batch_sizes: Optional[List[int]] = None
+
+    @property
+    def solution_count(self) -> int:
+        return int(self.points.shape[0])
+
+
+def make_backend(problem: Problem, backend: str = "auto"):
+    if backend == "numpy":
+        from moip_aira_tpu.solver.lex import NumpyLexBackend
+
+        return NumpyLexBackend(problem)
+    if backend in ("jax", "auto"):
+        try:
+            from moip_aira_tpu.solver.lex_jax import JaxLexBackend
+
+            return JaxLexBackend(problem)
+        except Exception:
+            if backend == "jax":
+                raise
+            from moip_aira_tpu.solver.lex import NumpyLexBackend
+
+            return NumpyLexBackend(problem)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def solve_front(
+    problem: Problem,
+    n_workers: int = 1,
+    spread: bool = True,
+    split: bool = False,
+    split_normal: bool = False,
+    backend: str = "auto",
+) -> FrontResult:
+    """Compute the exact nondominated set of ``problem``.
+
+    Mirrors the reference driver: the synergistic cluster decomposition by
+    default (aira.cpp:277-308), or the EPP range split with ``split=True``
+    (aira.cpp:269-276).
+    """
+    t_cpu0 = time.process_time()
+    t_wall0 = time.monotonic()
+    n_workers = max(1, n_workers)
+
+    be = make_backend(problem, backend)
+    sched = Scheduler(problem, be)
+    k = problem.objcnt
+    all_store = Solutions(k)
+    infeasibles = Solutions(k)
+
+    if split:
+        if split_normal and n_workers > MAX_WORKERS_NORMAL_SPLIT:
+            raise ValueError(
+                f"split_normal supports at most {MAX_WORKERS_NORMAL_SPLIT} workers"
+            )
+        pts = split_setup(sched, k, n_workers, split_normal, infeasibles)
+        # seed ip such that it can never answer a relaxation query
+        # (reference main inserts these with an uninitialised ip vector,
+        # aira.cpp:271-276 — see SURVEY §2/C11)
+        dead_ip = np.full(k, -INF if problem.objsen is Sense.MIN else INF)
+        for p_ in pts:
+            all_store.insert(dead_ip, p_, False)
+    else:
+        n_workers = min(n_workers, max_workers(k))
+        specs = build_cluster(n_workers, k, problem.objsen, spread)
+        sched.run(specs, all_store, infeasibles)
+
+    points = all_store.sorted_unique_points()
+    return FrontResult(
+        points=points,
+        ip_count=sched.ip_count,
+        cpu_seconds=time.process_time() - t_cpu0,
+        elapsed_seconds=time.monotonic() - t_wall0,
+        rounds=sched.rounds,
+        batch_sizes=sched.batch_sizes,
+    )
