@@ -141,8 +141,10 @@ def _cluster(
         for j in range(n_obj_left):
             obj = my_ordering[j]
             share_from[obj] = old_from[obj]
-        # rotate the ordering left by one (cluster.cpp:112-117)
-        my_ordering.append(my_ordering.pop(0))
+        # rotate the first n_obj_left entries left by one (cluster.cpp:112-117)
+        my_ordering[:n_obj_left] = (
+            my_ordering[1:n_obj_left] + my_ordering[:1]
+        )
         locks[pos] = None
 
     if spread:
