@@ -42,17 +42,36 @@ def make_backend(problem: Problem, backend: str = "auto"):
         from moip_aira_tpu.solver.lex import NumpyLexBackend
 
         return NumpyLexBackend(problem)
-    if backend in ("jax", "auto"):
+    if backend == "wave":
+        from moip_aira_tpu.solver.wave import WaveLexBackend
+
+        return WaveLexBackend(problem)
+    if backend == "jax":
+        from moip_aira_tpu.solver.lex_jax import JaxLexBackend
+
+        return JaxLexBackend(problem)
+    if backend == "auto":
         try:
-            from moip_aira_tpu.solver.lex_jax import JaxLexBackend
+            import jax
 
-            return JaxLexBackend(problem)
+            platform = jax.devices()[0].platform
         except Exception:
-            if backend == "jax":
-                raise
-            from moip_aira_tpu.solver.lex import NumpyLexBackend
+            platform = None
+        if platform in ("cpu", None):
+            # monolithic on-device kernel: compiles fast under XLA:CPU
+            try:
+                from moip_aira_tpu.solver.lex_jax import JaxLexBackend
 
-            return NumpyLexBackend(problem)
+                return JaxLexBackend(problem)
+            except Exception:
+                from moip_aira_tpu.solver.lex import NumpyLexBackend
+
+                return NumpyLexBackend(problem)
+        # TPU/GPU: host-driven B&B over the batched LP kernel — the nested
+        # while-loop kernel compiles far too slowly on the TPU toolchain
+        from moip_aira_tpu.solver.wave import WaveLexBackend
+
+        return WaveLexBackend(problem)
     raise ValueError(f"unknown backend {backend!r}")
 
 

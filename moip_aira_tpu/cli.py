@@ -48,7 +48,7 @@ def build_argparser() -> argparse.ArgumentParser:
                     default=1,
                     help="Accepted for aira compatibility; the native backend "
                          "batches branch-and-bound nodes instead.")
-    ap.add_argument("--backend", choices=("auto", "jax", "numpy"),
+    ap.add_argument("--backend", choices=("auto", "jax", "wave", "numpy"),
                     default="auto", help="Solve kernel backend.")
     ap.add_argument("--version", action="version",
                     version=f"moip-aira-tpu {__version__}")

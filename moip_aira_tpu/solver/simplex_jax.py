@@ -55,8 +55,11 @@ class SimplexState(NamedTuple):
 
 class LPOutcome(NamedTuple):
     status: jnp.ndarray  # () int32
-    obj: jnp.ndarray  # () f64
+    obj: jnp.ndarray  # () float
     x: jnp.ndarray  # (n,) structural values
+    basis: jnp.ndarray  # (m,) int32 — final basis (for exact verification)
+    at_upper: jnp.ndarray  # (nc,) bool — nonbasic bound statuses
+    iters: jnp.ndarray  # () int32
 
 
 def _nonbasic_values(at_upper, lo, hi):
@@ -66,14 +69,26 @@ def _nonbasic_values(at_upper, lo, hi):
     return jnp.where(at_upper & finite_hi, hi, base)
 
 
-def make_lp_solver(W: jnp.ndarray, max_iters: int):
+def make_lp_solver(
+    W: jnp.ndarray,
+    max_iters: int,
+    feas_tol: float = FEAS_TOL,
+    cost_tol: float = COST_TOL,
+    pivot_tol: float = PIVOT_TOL,
+):
     """Build an LP solver closed over the static system matrix W = [A|-I].
 
     Returns solve(c_full, lo, hi) -> LPOutcome, pure and vmap-able.
-    c_full has length nc (structural costs then zeros).
+    c_full has length nc (structural costs then zeros).  Works in W's dtype:
+    float64 for the exact path, float32 for the fast TPU path (whose results
+    are then certified in f64 by solver/verify.py — f64 emulation on TPU
+    inflates XLA compile times ~20x, so the on-device arithmetic stays f32).
     """
     m, nc = W.shape
     n = nc - m
+    FEAS_TOL = feas_tol
+    COST_TOL = cost_tol
+    PIVOT_TOL = pivot_tol
     T0 = -W  # initial tableau for the logical basis B = -I
     basis0 = jnp.arange(n, n + m, dtype=jnp.int32)
     in_basis0 = jnp.concatenate(
@@ -100,7 +115,7 @@ def make_lp_solver(W: jnp.ndarray, max_iters: int):
             xB=xB0,
             phase=jnp.int32(1),
             stall=jnp.int32(0),
-            last_obj=jnp.float64(jnp.inf),
+            last_obj=jnp.asarray(jnp.inf, dtype=W.dtype),
             it=jnp.int32(0),
             status=jnp.where(empty_box, jnp.int32(INFEASIBLE), jnp.int32(RUNNING)),
         )
@@ -147,7 +162,7 @@ def make_lp_solver(W: jnp.ndarray, max_iters: int):
             # entering column: Dantzig (max |d|), Bland after a stall
             bland = st.stall >= STALL_LIMIT
             score_dantzig = jnp.where(eligible, jnp.abs(d), -1.0)
-            score_bland = jnp.where(eligible, -col_ids.astype(jnp.float64), -BIG)
+            score_bland = jnp.where(eligible, -col_ids.astype(W.dtype), -BIG)
             q = jnp.argmax(jnp.where(bland, score_bland, score_dantzig)).astype(
                 jnp.int32
             )
@@ -166,7 +181,7 @@ def make_lp_solver(W: jnp.ndarray, max_iters: int):
             bh_s = jnp.where(jnp.isfinite(bh), bh, BIG)
             r_dn = (st.xB - bl_s) / jnp.where(eta < 0, -eta, 1.0)
             r_up = (bh_s - st.xB) / jnp.where(eta > 0, eta, 1.0)
-            ratios = jnp.full((m,), jnp.inf)
+            ratios = jnp.full((m,), jnp.inf, dtype=W.dtype)
             hits_upper = jnp.zeros((m,), dtype=bool)
             c1 = moving & feas_b & (eta < 0) & jnp.isfinite(bl)
             ratios = jnp.where(c1, r_dn, ratios)
@@ -186,7 +201,7 @@ def make_lp_solver(W: jnp.ndarray, max_iters: int):
             tied = ratios <= rmin + FEAS_TOL
             # tie-break: largest |eta| (Bland: smallest basis index)
             pick_score = jnp.where(tied, jnp.abs(eta), -1.0)
-            pick_bland = jnp.where(tied, -st.basis.astype(jnp.float64), -BIG)
+            pick_bland = jnp.where(tied, -st.basis.astype(W.dtype), -BIG)
             r_pick = jnp.argmax(jnp.where(bland, pick_bland, pick_score)).astype(
                 jnp.int32
             )
@@ -260,6 +275,13 @@ def make_lp_solver(W: jnp.ndarray, max_iters: int):
         z = jnp.where(final.in_basis, 0.0, zv)
         z = z.at[final.basis].set(final.xB)
         obj = (c_full * z).sum()
-        return LPOutcome(status=status, obj=obj, x=z[:n])
+        return LPOutcome(
+            status=status,
+            obj=obj,
+            x=z[:n],
+            basis=final.basis,
+            at_upper=final.at_upper,
+            iters=final.it,
+        )
 
     return solve

@@ -1,0 +1,333 @@
+"""Wave backend: host-orchestrated branch-and-bound over batched device LPs.
+
+The monolithic kernel (lex_jax.py) runs the whole lexicographic B&B on
+device, which is ideal for CPU/XLA but compiles very slowly on the TPU
+toolchain (nested while loops).  This backend keeps the *LP relaxation* as
+the device kernel — one jitted ``vmap`` of the bounded-variable simplex, the
+34s-once compile — and drives the branch-and-bound tree search from the
+host:
+
+  wave loop:  gather up to ``batch_width`` open nodes across every active
+              (worker, lex-stage) task  →  one device call solves all their
+              LP relaxations  →  prune / bound / branch on host  →  repeat.
+
+Because nodes from *all* AIRA workers, all EPP strips and all lexicographic
+stages share one batch, the device stays full even though each individual
+B&B tree is sequential — the same trick the scheduler plays one level up.
+The node bookkeeping is pure numpy (a C++ twin lives in native/ when built).
+
+This mirrors how the reference extracts parallelism from CPLEX threads
+(aira.cpp:236-239 `-c`): intra-solve parallelism, but as SIMD lanes instead
+of threads.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from moip_aira_tpu.problem import Problem
+from moip_aira_tpu.sense import INF, Sense
+from moip_aira_tpu.solver import simplex_jax as sx
+from moip_aira_tpu.solver.lex import LexOutcome, LexRequest, NumpyLexBackend
+from moip_aira_tpu.solver.lex_jax import _enable_persistent_cache
+from moip_aira_tpu.solver.status import SolveStatus
+
+INT_TOL = 1e-6
+
+
+class _StageTask:
+    """One single-objective MIP (one lexicographic stage of one request)."""
+
+    __slots__ = (
+        "req_idx",
+        "stage",
+        "obj_j",
+        "c_struct",
+        "obj_int",
+        "srhs",
+        "nodes",
+        "best",
+        "best_x",
+        "node_count",
+        "failed",
+    )
+
+    def __init__(self, req_idx, stage, obj_j, c_struct, obj_int, srhs, lb, ub):
+        self.req_idx = req_idx
+        self.stage = stage
+        self.obj_j = obj_j
+        self.c_struct = c_struct
+        self.obj_int = obj_int
+        self.srhs = srhs
+        self.nodes: List = [(lb.copy(), ub.copy())]  # DFS stack of (lo, hi)
+        self.best = np.inf
+        self.best_x: Optional[np.ndarray] = None
+        self.node_count = 0
+        self.failed = False
+
+
+class WaveLexBackend:
+    """Exact lexicographic CLMOIP solves via device LP waves."""
+
+    name = "wave"
+
+    def __init__(
+        self,
+        problem: Problem,
+        batch_width: int = 256,
+        nodes_per_task: int = 8,
+        lp_max_iters: int = 2000,
+        max_nodes: int = 500000,
+        dtype: str = "float32",
+    ):
+        jax.config.update("jax_enable_x64", True)
+        _enable_persistent_cache()
+        self.problem = problem
+        self.batch_width = batch_width
+        self.nodes_per_task = nodes_per_task
+        self.max_nodes = max_nodes
+        self.f32 = dtype == "float32"
+
+        p = problem
+        self.k = p.objcnt
+        self.n = p.n
+        self.m = p.m_total
+        self.is_min = p.objsen is Sense.MIN
+        A_full = np.vstack([p.A, p.C])
+        W_np = np.hstack([A_full, -np.eye(self.m)])
+        if self.f32:
+            # fast on-device arithmetic; every result certified in f64 below
+            W = jnp.asarray(W_np, dtype=jnp.float32)
+            lp = sx.make_lp_solver(
+                W, lp_max_iters, feas_tol=3e-4, cost_tol=3e-5, pivot_tol=3e-5
+            )
+        else:
+            W = jnp.asarray(W_np)
+            lp = sx.make_lp_solver(W, lp_max_iters)
+        self._dtype = jnp.float32 if self.f32 else jnp.float64
+        from moip_aira_tpu.solver.verify import LPVerifier
+
+        self._verifier = LPVerifier(W_np) if self.f32 else None
+        self._ws = None  # lazy SimplexWorkspace for per-lane exact fallback
+        self.verify_fallbacks = 0
+        self._lp_batch = jax.jit(jax.vmap(lp))
+        self.int_idx = np.flatnonzero(p.is_int)
+        self.obj_integral = np.array(
+            [
+                bool(
+                    np.all(p.C[j] == np.rint(p.C[j]))
+                    and np.all(p.is_int[np.abs(p.C[j]) > 0])
+                )
+                for j in range(p.objcnt)
+            ]
+        )
+        self.device_waves = 0
+        self.lp_count = 0
+        self._fallback = NumpyLexBackend(problem)
+
+    # -- stage plumbing ----------------------------------------------------
+    def _stage_task(self, req_idx, stage, perm, srhs) -> _StageTask:
+        j = perm[stage]
+        sign = 1.0 if self.is_min else -1.0
+        return _StageTask(
+            req_idx,
+            stage,
+            j,
+            sign * self.problem.C[j],
+            self.obj_integral[j],
+            srhs,
+            self.problem.lb,
+            self.problem.ub,
+        )
+
+    def _logical_bounds(self, srhs):
+        p = self.problem
+        if self.is_min:
+            olo, ohi = np.full(self.k, -INF), srhs
+        else:
+            olo, ohi = srhs, np.full(self.k, INF)
+        lo = np.concatenate([p.row_lb, olo])
+        hi = np.concatenate([p.row_ub, ohi])
+        return lo, hi
+
+    def _certify_wave(self, c, lo, hi, status, basis, at_upper):
+        """Certify f32 device claims in f64; exact host re-solve where the
+        certificate fails (see solver/verify.py)."""
+        cert = self._verifier.certify(c, lo, hi, status, basis, at_upper)
+        objv = np.where(cert.ok, cert.obj, np.nan)
+        xs = cert.x
+        bad = np.flatnonzero(
+            ~cert.ok
+            & ((status == sx.OPTIMAL) | (status == sx.INFEASIBLE))
+        )
+        retry = set(bad.tolist()) | set(
+            np.flatnonzero(
+                (status != sx.OPTIMAL) & (status != sx.INFEASIBLE)
+            ).tolist()
+        )
+        if retry:
+            if self._ws is None:
+                from moip_aira_tpu.solver.simplex_np import SimplexWorkspace
+
+                self._ws = SimplexWorkspace(
+                    np.vstack([self.problem.A, self.problem.C])
+                )
+            from moip_aira_tpu.solver.simplex_np import solve_lp
+            from moip_aira_tpu.solver.status import SolveStatus as SS
+
+            for i in sorted(retry):
+                self.verify_fallbacks += 1
+                r = solve_lp(self._ws, c[i, : self.n], lo[i], hi[i])
+                if r.status == SS.OPTIMAL:
+                    status[i] = sx.OPTIMAL
+                    objv[i] = r.obj
+                    xs[i] = r.x
+                elif r.status == SS.INFEASIBLE:
+                    status[i] = sx.INFEASIBLE
+                else:
+                    status[i] = sx.ITER_LIMIT
+        return status, objv, xs
+
+    # -- main entry --------------------------------------------------------
+    def lex_solve_batch(self, reqs: List[LexRequest]) -> List[LexOutcome]:
+        if not reqs:
+            return []
+        n_req = len(reqs)
+        results = np.zeros((n_req, self.k), dtype=np.int64)
+        ips = np.zeros(n_req, dtype=np.int64)
+        infeasible = np.zeros(n_req, dtype=bool)
+        srhs_by_req = [np.asarray(r.rhs, dtype=np.float64).copy() for r in reqs]
+        perms = [list(r.perm) for r in reqs]
+
+        active: List[_StageTask] = [
+            self._stage_task(i, 0, perms[i], srhs_by_req[i]) for i in range(n_req)
+        ]
+
+        B = self.batch_width
+        nc = self.n + self.m
+        c_buf = np.zeros((B, nc))
+        lo_buf = np.zeros((B, nc))
+        hi_buf = np.zeros((B, nc))
+
+        while active:
+            # ---- gather a wave of nodes ---------------------------------
+            wave: List = []  # (task, node_lo, node_hi)
+            for task in active:
+                take = min(self.nodes_per_task, len(task.nodes), B - len(wave))
+                for _ in range(take):
+                    wave.append((task, *task.nodes.pop()))
+                if len(wave) >= B:
+                    break
+            nb = len(wave)
+            for i, (task, nlo, nhi) in enumerate(wave):
+                llo, lhi = self._logical_bounds(task.srhs)
+                c_buf[i, : self.n] = task.c_struct
+                c_buf[i, self.n :] = 0.0
+                lo_buf[i, : self.n] = nlo
+                lo_buf[i, self.n :] = llo
+                hi_buf[i, : self.n] = nhi
+                hi_buf[i, self.n :] = lhi
+            if nb < B:
+                # pad with a copy of lane 0 (cheap, discarded)
+                c_buf[nb:] = c_buf[0]
+                lo_buf[nb:] = lo_buf[0]
+                hi_buf[nb:] = hi_buf[0]
+
+            out = self._lp_batch(
+                jnp.asarray(c_buf, dtype=self._dtype),
+                jnp.asarray(lo_buf, dtype=self._dtype),
+                jnp.asarray(hi_buf, dtype=self._dtype),
+            )
+            status = np.asarray(out.status)
+            objv = np.asarray(out.obj, dtype=np.float64)
+            xs = np.asarray(out.x, dtype=np.float64)
+            self.device_waves += 1
+            self.lp_count += nb
+
+            if self.f32:
+                status, objv, xs = self._certify_wave(
+                    np.array(c_buf[:nb]), np.array(lo_buf[:nb]),
+                    np.array(hi_buf[:nb]),
+                    np.array(status[:nb]), np.asarray(out.basis)[:nb],
+                    np.asarray(out.at_upper)[:nb],
+                )
+
+            # ---- process on host ----------------------------------------
+            for i, (task, nlo, nhi) in enumerate(wave):
+                task.node_count += 1
+                if task.failed:
+                    continue
+                st = int(status[i])
+                if st == sx.INFEASIBLE:
+                    continue
+                if st != sx.OPTIMAL or task.node_count > self.max_nodes:
+                    # resource trouble — resolve this whole request on host
+                    task.failed = True
+                    task.nodes.clear()
+                    continue
+                bound = objv[i]
+                if task.obj_int:
+                    bound = math.ceil(bound - INT_TOL)
+                if bound >= task.best - (INT_TOL if task.obj_int else 1e-9):
+                    continue
+                x = xs[i]
+                fr = np.abs(x[self.int_idx] - np.rint(x[self.int_idx]))
+                if fr.size == 0 or fr.max() <= INT_TOL:
+                    if objv[i] < task.best - INT_TOL:
+                        task.best = objv[i]
+                        task.best_x = x.copy()
+                    continue
+                jloc = self.int_idx[int(np.argmax(fr))]
+                fl = math.floor(x[jloc] + INT_TOL)
+                up_lo = nlo.copy()
+                up_lo[jloc] = fl + 1
+                dn_hi = nhi.copy()
+                dn_hi[jloc] = fl
+                # DFS: down child on top
+                task.nodes.append((up_lo, nhi))
+                task.nodes.append((nlo, dn_hi))
+
+            # ---- advance finished stages --------------------------------
+            still: List[_StageTask] = []
+            for task in active:
+                if task.nodes and not task.failed:
+                    still.append(task)
+                    continue
+                ri = task.req_idx
+                ips[ri] += 1
+                if task.failed:
+                    # exact host fallback for the whole request
+                    fb = self._fallback.lex_solve(reqs[ri])
+                    infeasible[ri] = fb.status.is_infeasible
+                    if fb.result is not None:
+                        results[ri] = fb.result
+                    continue
+                if not np.isfinite(task.best):
+                    infeasible[ri] = True
+                    continue
+                val = task.best if self.is_min else -task.best
+                vi = int(np.rint(val))
+                results[ri][task.obj_j] = vi
+                srhs_by_req[ri][task.obj_j] = float(vi)
+                nxt = task.stage + 1
+                if nxt < self.k:
+                    still.append(
+                        self._stage_task(ri, nxt, perms[ri], srhs_by_req[ri])
+                    )
+            active = still
+
+        out: List[LexOutcome] = []
+        for i in range(n_req):
+            if infeasible[i]:
+                out.append(LexOutcome(SolveStatus.INFEASIBLE, None, int(ips[i])))
+            else:
+                out.append(
+                    LexOutcome(SolveStatus.OPTIMAL, results[i].copy(), int(ips[i]))
+                )
+        return out
