@@ -1,0 +1,111 @@
+"""Benchmark: ILP subproblem throughput per chip, with front-parity guard.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Workload: a realistic mix of distinct CLMOIP subproblems from the 2AP05
+enumeration space (both objective orderings x a grid of objective-bound
+boxes), solved through the production TPU path (wave backend: batched f32
+device LPs + f64 certification + host B&B).  The value is lexicographic ILP
+subproblems (CPXmipopt-equivalents) per second per chip.
+
+Baseline: the reference solves 2AP05 at 24 IPs in 0.031 CPU-seconds
+(Examples/2AP05.out footer; BASELINE.md §A) => ~774 IP/s on its
+(unspecified) CPU.  vs_baseline = ours / 774.
+"""
+
+import json
+import os
+import sys
+import time
+
+EXAMPLES = (
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples")
+    if os.path.exists(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples", "2AP05.lp")
+    )
+    else "/root/reference/Examples"
+)
+
+BASELINE_IPS_PER_SEC = 24 / 0.031  # reference 2AP05 footer
+
+
+def main() -> int:
+    import numpy as np
+
+    from moip_aira_tpu.api import solve_front
+    from moip_aira_tpu.io import read_problem
+    from moip_aira_tpu.solver.lex import LexRequest
+    from moip_aira_tpu.solver.wave import WaveLexBackend
+
+    p = read_problem(os.path.join(EXAMPLES, "2AP05.lp"))
+
+    be = WaveLexBackend(p, batch_width=256, nodes_per_task=8)
+
+    # --- workload: distinct subproblems over the front's bound space -------
+    reqs = []
+    for perm in ([0, 1], [1, 0]):
+        for b1 in range(24, 56):  # golden obj1 range
+            for b0 in [np.inf, 50, 42, 34, 27]:
+                rhs = np.array([float(b0), float(b1)])
+                if perm == [1, 0]:
+                    rhs = rhs[::-1]
+                reqs.append(LexRequest(rhs=rhs, perm=perm))
+    reqs = reqs[:320]
+
+    # --- warm-up (compile; persistent-cached across runs) ------------------
+    t0 = time.time()
+    be.lex_solve_batch(reqs[:2])
+    warm_s = time.time() - t0
+
+    # --- timed run ---------------------------------------------------------
+    t0 = time.time()
+    outs = be.lex_solve_batch(reqs)
+    dt = time.time() - t0
+    ips = sum(o.ip_solves for o in outs)
+    ips_per_sec = ips / dt
+
+    # --- parity guard: the full enumeration must reproduce the golden front
+    front = solve_front(p, n_workers=2, backend="wave")
+    parity = front.solution_count == 9
+
+    print(
+        json.dumps(
+            {
+                "metric": "ilp_subproblems_per_sec_per_chip",
+                "value": round(ips_per_sec, 1),
+                "unit": "lex-IP/s",
+                "vs_baseline": round(ips_per_sec / BASELINE_IPS_PER_SEC, 3),
+                "detail": {
+                    "workload": "2AP05 subproblem grid x both orderings",
+                    "requests": len(reqs),
+                    "stage_ips": int(ips),
+                    "lp_relaxations": int(be.lp_count),
+                    "device_waves": int(be.device_waves),
+                    "verify_fallbacks": int(be.verify_fallbacks),
+                    "seconds": round(dt, 3),
+                    "warmup_compile_seconds": round(warm_s, 1),
+                    "front_parity_2AP05": parity,
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except Exception as e:  # never leave the driver without a JSON line
+        print(
+            json.dumps(
+                {
+                    "metric": "ilp_subproblems_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "lex-IP/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        sys.exit(0)

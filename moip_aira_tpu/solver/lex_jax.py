@@ -65,11 +65,18 @@ def _ceil_tol(v):
     return jnp.ceil(v - INT_TOL)
 
 
+def make_lex_vmapped(problem: Problem, **kw):
+    """The vmapped (un-jitted) kernel — for composition under shard_map/jit
+    with mesh shardings (parallel/mesh.py)."""
+    return make_lex_kernel(problem, jit_wrap=False, **kw)
+
+
 def make_lex_kernel(
     problem: Problem,
     max_nodes_stack: int = 160,
     max_bnb_nodes: int = 20000,
     lp_max_iters: int = 2000,
+    jit_wrap: bool = True,
 ):
     """Build the jitted batched kernel for one Problem.
 
@@ -232,8 +239,8 @@ def make_lex_kernel(
         )
         return status, result, ips
 
-    batched = jax.jit(jax.vmap(lex_one))
-    return batched
+    batched = jax.vmap(lex_one)
+    return jax.jit(batched) if jit_wrap else batched
 
 
 class JaxLexBackend:
