@@ -10,6 +10,7 @@ from typing import List, Optional
 import numpy as np
 
 from moip_aira_tpu.core.store import Solutions
+from moip_aira_tpu.native import make_solutions
 from moip_aira_tpu.engine.scheduler import Scheduler
 from moip_aira_tpu.engine.worker_spec import WorkerSpec
 from moip_aira_tpu.parallel.cluster import build_cluster
@@ -96,8 +97,8 @@ def solve_front(
     be = make_backend(problem, backend)
     sched = Scheduler(problem, be)
     k = problem.objcnt
-    all_store = Solutions(k)
-    infeasibles = Solutions(k)
+    all_store = make_solutions(k)
+    infeasibles = make_solutions(k)
 
     if split:
         if split_normal and n_workers > MAX_WORKERS_NORMAL_SPLIT:

@@ -62,7 +62,9 @@ def aira_worker(
     split = t.split
 
     # local store: EPP workers write straight to the global store
-    s = all_store if split else Solutions(k)
+    from moip_aira_tpu.native import make_solutions
+
+    s = all_store if split else make_solutions(k)
 
     inf_here = INF if is_min else -INF  # "unconstrained" RHS value
     step = -1.0 if is_min else 1.0  # direction RHS bounds are tightened

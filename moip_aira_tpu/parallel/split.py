@@ -103,9 +103,11 @@ def split_optimise(
             specs.append(WorkerSpec.for_split(t, nobj, p.objcnt, s0, s0 + step))
             s0 += step
 
-    here = Solutions(p.objcnt)
+    from moip_aira_tpu.native import make_solutions
+
+    here = make_solutions(p.objcnt)
     scheduler.run(specs, here, infeasibles)
-    return [r.result.copy() for r in here if not r.infeasible]
+    return [row.copy() for row in here.feasible_points()]
 
 
 def split_setup(

@@ -1,0 +1,453 @@
+"""Batched bounded-variable simplex as ONE Pallas TPU kernel.
+
+The XLA while-loop kernel (simplex_jax.py) spends ~1.5 ms per pivot at batch
+256 on TPU — each iteration's ~30 small HLO ops carry launch overhead that
+dwarfs the arithmetic.  This kernel moves the entire batch and the entire
+pivot loop inside a single Pallas program: the tableaus of all lanes live in
+VMEM as one (B, m_p, nc_p) scratch tensor and every iteration is a handful
+of fused VPU ops over it, so a pivot costs VMEM-bandwidth time (~10 us for
+the whole batch) instead of dispatch time.  Mosaic also compiles in seconds
+where XLA:TPU takes minutes on the equivalent loop — which matters on a
+shared/tunnelled compile service.
+
+Same algorithm and tolerances as simplex_jax.make_lp_solver (composite
+phase-1 bounded simplex, Dantzig/Bland pricing, largest-pivot ratio
+tie-break); f32 arithmetic, results certified exactly in f64 by
+solver/verify.py exactly like the XLA f32 path.
+
+Layout notes (TPU tiling):
+* lanes ride the sublane dimension: (B, nc_p) and (B, m_p) state tensors,
+* per-lane dynamic gathers (entering column q_b, pivot row r_b) are one-hot
+  contractions — no scatter/gather primitives needed,
+* the pivot rank-1 update folds the "set row r" step into the outer product
+  by replacing colv[r] with (piv - 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from moip_aira_tpu.solver import simplex_jax as sx
+
+BIG = 1e30
+STALL_LIMIT = 60
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_pallas_lp_batch(
+    W_np: np.ndarray,
+    batch: int,
+    max_iters: int = 2000,
+    feas_tol: float = 3e-4,
+    cost_tol: float = 3e-5,
+    pivot_tol: float = 3e-5,
+    interpret: bool = False,
+):
+    """Build fn(c, lo, hi) -> (status, obj, x, basis, at_upper, iters).
+
+    Inputs are (B, nc) f32 in the UNPADDED column layout [x | logicals];
+    outputs match simplex_jax.LPOutcome fields (batched, unpadded).
+    """
+    m, nc = W_np.shape
+    n = nc - m
+    m_p = _round_up(m, 8)
+    nc_p = _round_up(n + m_p, 128)
+    # grid-chunk the batch so per-program VMEM stays bounded (~16MB budget)
+    CHUNK = 256
+    while CHUNK * (m_p * nc_p + 6 * nc_p) * 4 > 10 * 2**20 and CHUNK > 8:
+        CHUNK //= 2
+    if batch < CHUNK:
+        CHUNK = max(8, batch)
+    assert batch % CHUNK == 0, (batch, CHUNK)
+    B = CHUNK
+
+    # padded system matrix: [A | -I_m | pad] with -1 diagonal continued for
+    # padded rows so the padded logical basis stays nonsingular
+    Wp = np.zeros((m_p, nc_p), dtype=np.float32)
+    Wp[:m, :n] = W_np[:, :n]
+    for i in range(m_p):
+        Wp[i, n + i] = -1.0
+    Wp[:m, n : n + m] = W_np[:, n:]
+
+    col_valid = np.zeros((1, nc_p), dtype=np.float32)
+    col_valid[0, : n + m] = 1.0  # padded logical cols are fixed at 0
+    col_valid_p = np.zeros((1, nc_p), dtype=np.float32)
+    col_valid_p[0, : n + m_p] = 1.0  # incl. padded logicals (for basis ops)
+
+    Wp_j = jnp.asarray(Wp)
+
+    RUNNING, OPTIMAL, INFEASIBLE, UNBOUNDED, ITERLIM = (
+        sx.RUNNING,
+        sx.OPTIMAL,
+        sx.INFEASIBLE,
+        sx.UNBOUNDED,
+        sx.ITER_LIMIT,
+    )
+
+    def kernel(
+        W_ref,
+        c_ref,
+        lo_ref,
+        hi_ref,
+        status_ref,
+        obj_ref,
+        z_ref,
+        basis_ref,
+        atup_ref,
+        iters_ref,
+        T,
+        xB,
+        bl,
+        bh,
+        cB,
+        inb,
+        atup,
+        stall,
+    ):
+        c = c_ref[...]
+        lo = lo_ref[...]
+        hi = hi_ref[...]
+        finite_lo = jnp.isfinite(lo)
+        finite_hi = jnp.isfinite(hi)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nc_p), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, m_p), 1)
+        col_valid = (col_ids < n + m).astype(jnp.float32)
+
+        # ---- init ----------------------------------------------------------
+        # tableau for the logical basis B = -I  =>  T0 = -W
+        T[...] = jnp.broadcast_to(-W_ref[...][None], (B, m_p, nc_p))
+        is_struct = col_ids < n  # (1, nc_p)
+        at0 = is_struct & ~finite_lo & finite_hi
+        atup[...] = at0.astype(jnp.int32)
+        is_logical = (col_ids >= n) & (col_ids < n + m_p)
+        inb[...] = jnp.broadcast_to(is_logical, (B, nc_p)).astype(jnp.int32)
+        basis_ref[...] = jnp.broadcast_to(
+            n + row_ids, (B, m_p)
+        ).astype(jnp.int32)
+        zv0 = jnp.where(
+            at0 & finite_hi, hi, jnp.where(finite_lo, lo, jnp.where(finite_hi, hi, 0.0))
+        )
+        zv0 = jnp.where(is_struct, zv0, 0.0)  # logicals basic; pads fixed 0
+        # xB = -T0[:, nonbasic] @ zN  (only structural cols are nonbasic)
+        xB[...] = -jnp.sum(T[...] * zv0[:, None, :], axis=2)
+        # basic bounds: logical col n+i has bounds lo[n+i], hi[n+i] (pads 0)
+        log_sel = (col_ids >= n) & (col_ids < n + m)  # (1, nc_p)
+        lo_log = jnp.where(log_sel, lo, 0.0)
+        hi_log = jnp.where(log_sel, hi, 0.0)
+        # scatter logical bounds to rows: row i <- col n+i
+        cid2 = jax.lax.broadcasted_iota(jnp.int32, (m_p, nc_p), 1)
+        rid2 = jax.lax.broadcasted_iota(jnp.int32, (m_p, nc_p), 0)
+        onehot_rows = (cid2 == n + rid2).astype(jnp.float32)[None]  # (1, m_p, nc_p)
+        # use +-inf aware contraction: replace inf with BIG sentinel first
+        def pick(v):
+            vs = jnp.where(jnp.isposinf(v), BIG, jnp.where(jnp.isneginf(v), -BIG, v))
+            out = jnp.sum(onehot_rows * vs[:, None, :], axis=2)
+            return jnp.where(out >= BIG, jnp.inf, jnp.where(out <= -BIG, -jnp.inf, out))
+
+        bl[...] = pick(lo_log)
+        bh[...] = pick(hi_log)
+        cB[...] = jnp.zeros((B, m_p), jnp.float32)
+        stall[...] = jnp.zeros((B, 128), jnp.int32)
+        empty = jnp.any((lo > hi + feas_tol) & (col_valid > 0), axis=1)  # (B,)
+        status0 = jnp.where(empty, INFEASIBLE, RUNNING).astype(jnp.int32)
+        status_ref[...] = jnp.broadcast_to(status0[:, None], (B, 128)).astype(
+            jnp.int32
+        )
+        iters_ref[...] = jnp.zeros((B, 128), jnp.int32)
+        obj_ref[...] = jnp.full((B, 128), jnp.inf, jnp.float32)  # last_obj
+
+        cvalid = jnp.broadcast_to(col_valid > 0, (B, nc_p))
+        free = cvalid & ~finite_lo & ~finite_hi
+
+        # Mosaic only supports minor-dim insertion for 32-bit types, so all
+        # (B,) bool -> (B,1[,1]) expansions round-trip through int32.
+        def eb(v):
+            return v.astype(jnp.int32)[:, None] > 0
+
+        def eb3(v):
+            return v.astype(jnp.int32)[:, None, None] > 0
+
+        def body(carry):
+            it, _ = carry
+            status = status_ref[:, 0]
+            active = status == RUNNING  # (B,)
+
+            xb = xB[...]
+            bll = bl[...]
+            bhh = bh[...]
+            below = xb < bll - feas_tol
+            above = xb > bhh + feas_tol
+            infeas = jnp.where(below, bll - xb, 0.0) + jnp.where(
+                above, xb - bhh, 0.0
+            )
+            infeas_sum = jnp.sum(infeas, axis=1)  # (B,)
+            phase1 = infeas_sum > feas_tol
+
+            cB_eff = jnp.where(
+                eb(phase1),
+                jnp.where(below, -1.0, jnp.where(above, 1.0, 0.0)),
+                cB[...],
+            )
+            # reduced costs: d = c_eff - cB_eff @ T   (per lane)
+            d = -jnp.sum(cB_eff[:, :, None] * T[...], axis=1)  # (B, nc_p)
+            d = jnp.where(eb(phase1), d, d + c)
+
+            inbm = inb[...] > 0
+            atm = atup[...] > 0
+            nbm = cvalid & ~inbm
+            can_up = nbm & (~atm | free) & (d < -cost_tol)
+            can_dn = nbm & (atm | free) & (d > cost_tol)
+            elig = can_up | can_dn
+            any_elig = jnp.any(elig, axis=1)  # (B,)
+
+            bland = stall[:, 0] >= STALL_LIMIT
+            score_d = jnp.where(elig, jnp.abs(d), -1.0)
+            score_b = jnp.where(elig, -col_ids.astype(jnp.float32), -BIG)
+            score = jnp.where(eb(bland), score_b, score_d)
+            q = jnp.argmax(score, axis=1).astype(jnp.int32)  # (B,)
+            qmask = col_ids == q[:, None]  # (B, nc_p)
+            sigma = jnp.where(
+                jnp.sum(jnp.where(qmask, can_up.astype(jnp.float32), 0.0), axis=1)
+                > 0,
+                1.0,
+                -1.0,
+            )  # (B,)
+            alpha = jnp.sum(
+                T[...] * qmask.astype(jnp.float32)[:, None, :], axis=2
+            )  # (B, m_p)
+            eta = -sigma[:, None] * alpha
+
+            # ---- ratio test ------------------------------------------------
+            qsel = qmask.astype(jnp.float32)
+            lo_q = jnp.sum(jnp.where(qmask, jnp.where(finite_lo, lo, 0.0), 0.0), axis=1)
+            hi_q = jnp.sum(jnp.where(qmask, jnp.where(finite_hi, hi, 0.0), 0.0), axis=1)
+            q_bounded = (
+                jnp.sum(jnp.where(qmask, (finite_lo & finite_hi).astype(jnp.float32), 0.0), axis=1)
+                > 0
+            )
+            flip_theta = jnp.where(q_bounded, hi_q - lo_q, jnp.inf)  # (B,)
+
+            feas_b = ~below & ~above
+            moving = jnp.abs(eta) > pivot_tol
+            fin_bl = jnp.isfinite(bll)
+            fin_bh = jnp.isfinite(bhh)
+            safe_e = jnp.where(jnp.abs(eta) > pivot_tol, eta, 1.0)
+            r_dn = (xb - jnp.where(fin_bl, bll, -BIG)) / (-safe_e)
+            r_up = (jnp.where(fin_bh, bhh, BIG) - xb) / safe_e
+            ratios = jnp.full((B, m_p), jnp.inf, jnp.float32)
+            # hits_up kept as f32 0/1 — bool selects on (B, m_p) hit an
+            # unsupported i8->i1 truncation in Mosaic
+            hits_up = jnp.zeros((B, m_p), jnp.float32)
+            c1m = moving & feas_b & (eta < 0) & fin_bl
+            ratios = jnp.where(c1m, r_dn, ratios)
+            c2m = moving & feas_b & (eta > 0) & fin_bh
+            ratios = jnp.where(c2m, r_up, ratios)
+            hits_up = jnp.maximum(hits_up, c2m.astype(jnp.float32))
+            c3m = moving & below & (eta > 0)
+            ratios = jnp.where(c3m, (bll - xb) / safe_e, ratios)
+            c4m = moving & above & (eta < 0)
+            ratios = jnp.where(c4m, (xb - bhh) / (-safe_e), ratios)
+            hits_up = jnp.maximum(hits_up, c4m.astype(jnp.float32))
+            ratios = jnp.maximum(ratios, 0.0)
+
+            rmin = jnp.min(ratios, axis=1)  # (B,)
+            tied = ratios <= rmin[:, None] + feas_tol
+            basis_f = basis_ref[...].astype(jnp.float32)
+            pick_d = jnp.where(tied, jnp.abs(eta), -1.0)
+            pick_b = jnp.where(tied, -basis_f, -BIG)
+            pick = jnp.where(eb(bland), pick_b, pick_d)
+            r = jnp.argmax(pick, axis=1).astype(jnp.int32)  # (B,)
+            rmask = row_ids == r[:, None]  # (B, m_p)
+            r_ratio = jnp.sum(jnp.where(rmask, ratios, 0.0), axis=1)
+            row_blocks = rmin < flip_theta
+            theta = jnp.where(row_blocks, r_ratio, flip_theta)  # (B,)
+            unbounded = ~jnp.isfinite(theta)
+
+            new_status = jnp.where(
+                ~any_elig,
+                jnp.where(phase1, INFEASIBLE, OPTIMAL),
+                jnp.where(
+                    unbounded,
+                    jnp.where(phase1, INFEASIBLE, UNBOUNDED),
+                    RUNNING,
+                ),
+            ).astype(jnp.int32)
+            new_status = jnp.where(active, new_status, status)
+            stepping = active & (new_status == RUNNING)
+
+            do_pivot = stepping & row_blocks
+            do_flip = stepping & ~row_blocks
+
+            # ---- apply: bound flip ----------------------------------------
+            atq = jnp.sum(jnp.where(qmask, atup[...], 0), axis=1)  # (B,)
+            atup_flip = jnp.where(
+                qmask & eb(do_flip), 1 - atq[:, None], atup[...]
+            )
+
+            # ---- apply: pivot ---------------------------------------------
+            piv = jnp.sum(jnp.where(rmask, alpha, 0.0), axis=1)  # (B,)
+            safe_piv = jnp.where(jnp.abs(piv) > 1e-12, piv, 1.0)
+            rowv = jnp.sum(
+                T[...] * rmask.astype(jnp.float32)[:, :, None], axis=1
+            )  # (B, nc_p)
+            rowdiv = rowv / safe_piv[:, None]
+            colv = alpha  # T[:, q]
+            colv_mod = jnp.where(rmask, piv[:, None] - 1.0, colv)
+            T_new = T[...] - colv_mod[:, :, None] * rowdiv[:, None, :]
+            T[...] = jnp.where(eb3(do_pivot), T_new, T[...])
+
+            p_col = jnp.sum(jnp.where(rmask, basis_ref[...], 0), axis=1)  # (B,)
+            leave_up = jnp.sum(rmask.astype(jnp.float32) * hits_up, axis=1)
+            pmask = col_ids == p_col[:, None]
+            atup_piv = jnp.where(
+                pmask & eb(do_pivot),
+                (leave_up > 0).astype(jnp.int32)[:, None],
+                atup_flip,
+            )
+            atup[...] = atup_piv
+            inb_new = jnp.where(pmask & eb(do_pivot), 0, inb[...])
+            inb_new = jnp.where(qmask & eb(do_pivot), 1, inb_new)
+            inb[...] = inb_new
+
+            # entering value: current nonbasic value + sigma*theta
+            zq = jnp.where(atq > 0, hi_q, jnp.where(jnp.isfinite(lo_q), lo_q, 0.0))
+            zq = jnp.where(
+                jnp.sum(jnp.where(qmask, (finite_lo | finite_hi).astype(jnp.float32), 0.0), axis=1) > 0,
+                zq,
+                0.0,
+            )
+            newval = zq + sigma * theta
+            xb_step = xb + eta * theta[:, None]
+            xb_step = jnp.where(rmask & eb(do_pivot), newval[:, None], xb_step)
+            xB[...] = jnp.where(eb(do_pivot | do_flip), xb_step, xb)
+
+            basis_new = jnp.where(
+                rmask & eb(do_pivot), q[:, None], basis_ref[...]
+            )
+            basis_ref[...] = basis_new
+            # per-row bound/cost refresh for the pivot row
+            bl[...] = jnp.where(
+                rmask & eb(do_pivot),
+                jnp.where(jnp.isfinite(lo_q), lo_q, -jnp.inf)[:, None],
+                bll,
+            )
+            bh[...] = jnp.where(
+                rmask & eb(do_pivot),
+                jnp.where(jnp.isfinite(hi_q), hi_q, jnp.inf)[:, None],
+                bhh,
+            )
+            cq = jnp.sum(jnp.where(qmask, c, 0.0), axis=1)
+            cB[...] = jnp.where(rmask & eb(do_pivot), cq[:, None], cB[...])
+
+            # ---- objective / stall ----------------------------------------
+            cur_obj = jnp.where(phase1, infeas_sum, jnp.sum(cB[...] * xB[...], axis=1))
+            last = obj_ref[:, 0]
+            progressed = cur_obj < last - 1e-9
+            st_new = jnp.where(progressed | ~active, 0, stall[:, 0] + 1)
+            stall[...] = jnp.broadcast_to(st_new[:, None], (B, 128))
+            obj_ref[...] = jnp.broadcast_to(cur_obj[:, None], (B, 128))
+
+            status_ref[...] = jnp.broadcast_to(new_status[:, None], (B, 128))
+            iters_ref[...] = iters_ref[...] + active.astype(jnp.int32)[:, None]
+            n_active = jnp.sum((new_status == RUNNING).astype(jnp.int32))
+            return it + 1, n_active
+
+        it0 = jnp.int32(0)
+        n0 = jnp.sum((status_ref[:, 0] == RUNNING).astype(jnp.int32))
+        jax.lax.while_loop(
+            lambda cr: (cr[1] > 0) & (cr[0] < max_iters), body, (it0, n0)
+        )
+
+        # ---- finalize ------------------------------------------------------
+        status = status_ref[:, 0]
+        status = jnp.where(status == RUNNING, ITERLIM, status)
+        status_ref[...] = jnp.broadcast_to(status[:, None], (B, 128))
+        atm = atup[...] > 0
+        zv = jnp.where(
+            atm & finite_hi,
+            hi,
+            jnp.where(finite_lo, lo, jnp.where(finite_hi, hi, 0.0)),
+        )
+        zv = jnp.where((inb[...] > 0) | (col_valid <= 0), 0.0, zv)
+        # scatter basic values: z[basis[i]] = xB[i]
+        onehot_b = (
+            cid2[None] == basis_ref[...][:, :, None]
+        )  # (B, m_p, nc_p)
+        zb = jnp.sum(jnp.where(onehot_b, xB[...][:, :, None], 0.0), axis=1)
+        z = zv + zb
+        z_ref[...] = z
+        obj_ref[...] = jnp.broadcast_to(
+            jnp.sum(jnp.where(cvalid, c * z, 0.0), axis=1)[:, None], (B, 128)
+        )
+        atup_ref[...] = atup[...]
+
+    NB = batch
+    grid = (NB // CHUNK,)
+    pallas_fn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_p, nc_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, m_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NB, 128), jnp.int32),  # status
+            jax.ShapeDtypeStruct((NB, 128), jnp.float32),  # obj
+            jax.ShapeDtypeStruct((NB, nc_p), jnp.float32),  # z
+            jax.ShapeDtypeStruct((NB, m_p), jnp.int32),  # basis
+            jax.ShapeDtypeStruct((NB, nc_p), jnp.int32),  # at_upper
+            jax.ShapeDtypeStruct((NB, 128), jnp.int32),  # iters
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, m_p, nc_p), jnp.float32),  # T
+            pltpu.VMEM((B, m_p), jnp.float32),  # xB
+            pltpu.VMEM((B, m_p), jnp.float32),  # bl
+            pltpu.VMEM((B, m_p), jnp.float32),  # bh
+            pltpu.VMEM((B, m_p), jnp.float32),  # cB
+            pltpu.VMEM((B, nc_p), jnp.int32),  # in_basis
+            pltpu.VMEM((B, nc_p), jnp.int32),  # at_upper (work)
+            pltpu.VMEM((B, 128), jnp.int32),  # stall
+        ],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def solve_batch(c, lo, hi):
+        # c/lo/hi arrive (NB, n+m) f32; pad columns (fixed-at-zero pads)
+        zpad = jnp.zeros((NB, nc_p - (n + m)), jnp.float32)
+        cp = jnp.concatenate([c, zpad], axis=1)
+        lop = jnp.concatenate([lo, zpad], axis=1)
+        hip = jnp.concatenate([hi, zpad], axis=1)
+        status, obj, z, basis, atup, iters = pallas_fn(Wp_j, cp, lop, hip)
+        return (
+            status[:, 0],
+            obj[:, 0],
+            z[:, :n],
+            basis[:, :m],  # real rows only (padded rows hold padded logicals)
+            atup[:, : n + m],
+            iters[:, 0],
+        )
+
+    meta = dict(m=m, nc=nc, n=n, m_p=m_p, nc_p=nc_p, chunk=CHUNK)
+    return solve_batch, meta

@@ -75,6 +75,8 @@ def make_lp_solver(
     feas_tol: float = FEAS_TOL,
     cost_tol: float = COST_TOL,
     pivot_tol: float = PIVOT_TOL,
+    progress_tol: float = 1e-12,
+    stall_limit: int = STALL_LIMIT,
 ):
     """Build an LP solver closed over the static system matrix W = [A|-I].
 
@@ -143,7 +145,10 @@ def make_lp_solver(
                 c_full[st.basis],
             )
             zv = _nonbasic_values(st.at_upper, lo, hi)
-            d_raw = -(cB @ st.T)
+            # NOTE: explicit VPU reduction, NOT a matvec — on TPU an f32
+            # matmul may be routed through the MXU at bf16 input precision,
+            # and ~1e-2 reduced-cost noise makes the pricing loop cycle.
+            d_raw = -jnp.sum(cB[:, None] * st.T, axis=0)
             d = jnp.where(phase == 1, d_raw, c_full + d_raw)
             cur_obj = jnp.where(
                 phase == 1,
@@ -160,7 +165,7 @@ def make_lp_solver(
             any_elig = eligible.any()
 
             # entering column: Dantzig (max |d|), Bland after a stall
-            bland = st.stall >= STALL_LIMIT
+            bland = st.stall >= stall_limit
             score_dantzig = jnp.where(eligible, jnp.abs(d), -1.0)
             score_bland = jnp.where(eligible, -col_ids.astype(W.dtype), -BIG)
             q = jnp.argmax(jnp.where(bland, score_bland, score_dantzig)).astype(
@@ -251,8 +256,11 @@ def make_lp_solver(
                 st.xB,
             )
 
-            progressed = cur_obj < last_obj - 1e-12
+            # watermark stall detection: only a *material* improvement of
+            # the best objective seen resets the counter (f32 noise must not)
+            progressed = cur_obj < last_obj - progress_tol
             new_stall = jnp.where(progressed, 0, stall + 1)
+            new_last = jnp.minimum(last_obj, cur_obj)
 
             return SimplexState(
                 T=T,
@@ -262,7 +270,7 @@ def make_lp_solver(
                 xB=xB2,
                 phase=jnp.int32(phase),
                 stall=jnp.int32(new_stall),
-                last_obj=cur_obj,
+                last_obj=new_last,
                 it=st.it + 1,
                 status=status,
             )

@@ -58,11 +58,18 @@ def solve_lp(
     lo: np.ndarray,
     hi: np.ndarray,
     max_iters: int = 20000,
+    warm_basis: Optional[np.ndarray] = None,
+    warm_at_upper: Optional[np.ndarray] = None,
 ) -> LPResult:
     """Minimise c @ x subject to [A|-I] z = 0, lo <= z <= hi.
 
     ``lo``/``hi`` have length n + m: structural bounds then row-activity
     bounds (objective-bound rows included in A_full by the caller).
+
+    ``warm_basis``/``warm_at_upper`` restart from an advanced basis (e.g. the
+    near-optimal basis an f32 device kernel returned): the tableau is rebuilt
+    exactly as B^-1 W and the composite phase-1/phase-2 loop continues from
+    there — typically a handful of pivots.
     """
     m, ncols = ws.m, ws.ncols
     n = ws.n
@@ -73,18 +80,34 @@ def solve_lp(
     if np.any(lo > hi + FEAS_TOL):
         return LPResult(SolveStatus.INFEASIBLE, np.nan, None)
 
-    # --- initial basis: logicals -----------------------------------------
-    basis = np.arange(n, n + m)
-    in_basis = np.zeros(ncols, dtype=bool)
-    in_basis[basis] = True
-    # nonbasic statuses: at lower bound unless only the upper is finite
-    at_upper = np.zeros(ncols, dtype=bool)
     finite_lo = np.isfinite(lo)
     finite_hi = np.isfinite(hi)
-    at_upper[:n] = ~finite_lo[:n] & finite_hi[:n]
 
-    # tableau T = B^-1 W; with B = -I, T = -W
-    T = -ws.W.copy()
+    T = None
+    basis = None
+    at_upper = None
+    if warm_basis is not None:
+        wb = np.asarray(warm_basis, dtype=np.int64)
+        B = ws.W[:, wb]
+        try:
+            Tw = np.linalg.solve(B, ws.W)
+            if np.isfinite(Tw).all():
+                T = Tw
+                basis = wb.copy()
+                at_upper = np.asarray(warm_at_upper, dtype=bool).copy()
+        except np.linalg.LinAlgError:
+            T = None
+
+    if T is None:
+        # --- cold start: logical basis -----------------------------------
+        basis = np.arange(n, n + m)
+        at_upper = np.zeros(ncols, dtype=bool)
+        at_upper[:n] = ~finite_lo[:n] & finite_hi[:n]
+        # tableau T = B^-1 W; with B = -I, T = -W
+        T = -ws.W.copy()
+
+    in_basis = np.zeros(ncols, dtype=bool)
+    in_basis[basis] = True
     # nonbasic values
     zvals = np.where(at_upper, hi, np.where(finite_lo, lo, 0.0))
     zvals[~finite_lo & ~finite_hi] = 0.0  # free vars at 0

@@ -85,6 +85,7 @@ class WaveLexBackend:
         lp_max_iters: int = 2000,
         max_nodes: int = 500000,
         dtype: str = "float32",
+        engine: str = "auto",
     ):
         jax.config.update("jax_enable_x64", True)
         _enable_persistent_cache()
@@ -93,6 +94,16 @@ class WaveLexBackend:
         self.nodes_per_task = nodes_per_task
         self.max_nodes = max_nodes
         self.f32 = dtype == "float32"
+        if engine == "auto":
+            # Pallas/Mosaic on real accelerators (fast compile, no cycling);
+            # the XLA while-loop kernel on CPU (pallas interpret is slow)
+            try:
+                engine = (
+                    "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+                )
+            except Exception:
+                engine = "xla"
+        self.engine = engine
 
         p = problem
         self.k = p.objcnt
@@ -101,11 +112,56 @@ class WaveLexBackend:
         self.is_min = p.objsen is Sense.MIN
         A_full = np.vstack([p.A, p.C])
         W_np = np.hstack([A_full, -np.eye(self.m)])
+        if self.engine == "pallas":
+            from moip_aira_tpu.solver.pallas_lp import make_pallas_lp_batch
+
+            self.f32 = True
+            pfn, pmeta = make_pallas_lp_batch(
+                W_np.astype(np.float32), batch_width, max_iters=lp_max_iters
+            )
+            self._pallas_meta = pmeta
+
+            def _run(c, lo, hi):
+                # the pallas kernel is pure f32/i32; tracing it under the
+                # global x64 mode trips a jax recursion bug, so scope it out
+                with jax.enable_x64(False):
+                    status, obj, x, basis, atup, iters = pfn(c, lo, hi)
+                return sx.LPOutcome(
+                    status=status, obj=obj, x=x, basis=basis,
+                    at_upper=atup, iters=iters,
+                )
+
+            self._lp_batch = _run
+            self._dtype = jnp.float32
+            from moip_aira_tpu.solver.verify import LPVerifier
+
+            self._verifier = LPVerifier(W_np)
+            self._ws = None
+            self.verify_fallbacks = 0
+            self.int_idx = np.flatnonzero(p.is_int)
+            self.obj_integral = np.array(
+                [
+                    bool(
+                        np.all(p.C[j] == np.rint(p.C[j]))
+                        and np.all(p.is_int[np.abs(p.C[j]) > 0])
+                    )
+                    for j in range(p.objcnt)
+                ]
+            )
+            self.device_waves = 0
+            self.lp_count = 0
+            self._fallback = NumpyLexBackend(problem)
+            return
         if self.f32:
             # fast on-device arithmetic; every result certified in f64 below
             W = jnp.asarray(W_np, dtype=jnp.float32)
+            # f32 tolerances sized to the accumulation noise of this data
+            # (coeffs up to ~1e2, sums over ~m terms => |d| noise ~1e-2);
+            # anything the loose tolerances get wrong is caught by the f64
+            # certificates and re-solved exactly on host.
             lp = sx.make_lp_solver(
-                W, lp_max_iters, feas_tol=3e-4, cost_tol=3e-5, pivot_tol=3e-5
+                W, lp_max_iters, feas_tol=1e-2, cost_tol=1e-2, pivot_tol=1e-3,
+                progress_tol=1e-3,
             )
         else:
             W = jnp.asarray(W_np)
@@ -157,8 +213,10 @@ class WaveLexBackend:
         return lo, hi
 
     def _certify_wave(self, c, lo, hi, status, basis, at_upper):
-        """Certify f32 device claims in f64; exact host re-solve where the
-        certificate fails (see solver/verify.py)."""
+        """Certify f32 device claims in f64; uncertified lanes continue the
+        exact host simplex *warm-started from the device basis* (usually a
+        couple of pivots — the f32 kernel lands on or next to the optimal
+        vertex; see solver/verify.py)."""
         cert = self._verifier.certify(c, lo, hi, status, basis, at_upper)
         objv = np.where(cert.ok, cert.obj, np.nan)
         xs = cert.x
@@ -183,7 +241,14 @@ class WaveLexBackend:
 
             for i in sorted(retry):
                 self.verify_fallbacks += 1
-                r = solve_lp(self._ws, c[i, : self.n], lo[i], hi[i])
+                r = solve_lp(
+                    self._ws,
+                    c[i, : self.n],
+                    lo[i],
+                    hi[i],
+                    warm_basis=basis[i],
+                    warm_at_upper=at_upper[i],
+                )
                 if r.status == SS.OPTIMAL:
                     status[i] = sx.OPTIMAL
                     objv[i] = r.obj
