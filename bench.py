@@ -40,7 +40,7 @@ def main() -> int:
 
     p = read_problem(os.path.join(EXAMPLES, "2AP05.lp"))
 
-    be = WaveLexBackend(p, batch_width=256, nodes_per_task=8)
+    be = WaveLexBackend(p, batch_width=1024, nodes_per_task=16)
 
     # --- workload: distinct subproblems over the front's bound space -------
     reqs = []
@@ -51,7 +51,15 @@ def main() -> int:
                 if perm == [1, 0]:
                     rhs = rhs[::-1]
                 reqs.append(LexRequest(rhs=rhs, perm=perm))
-    reqs = reqs[:320]
+    # replicate the grid with perturbed first-objective caps for saturation
+    extra = []
+    for r in reqs:
+        for d in (1, 2):
+            rhs = r.rhs.copy()
+            if np.isfinite(rhs).any():
+                rhs[np.isfinite(rhs)] += d
+            extra.append(LexRequest(rhs=rhs, perm=r.perm))
+    reqs = (reqs + extra)[:960]
 
     # --- warm-up (compile; persistent-cached across runs) ------------------
     t0 = time.time()
@@ -66,8 +74,15 @@ def main() -> int:
     ips_per_sec = ips / dt
 
     # --- parity guard: the full enumeration must reproduce the golden front
+    # (read the expected front from the .out file next to the instance)
+    expected = 0
+    with open(os.path.join(EXAMPLES, "2AP05.out")) as fh:
+        for line in fh:
+            parts = line.split()
+            if parts and all(t.lstrip("-").isdigit() for t in parts):
+                expected += 1
     front = solve_front(p, n_workers=2, backend="wave")
-    parity = front.solution_count == 9
+    parity = front.solution_count == expected
 
     print(
         json.dumps(

@@ -58,13 +58,19 @@ class Scheduler:
             except StopIteration:
                 pass
 
+        from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS, TRACE, trace
+
         while live:
             self.rounds += 1
             reqs = [
                 LexRequest(rhs=item[2], perm=item[0].perm) for item in live
             ]
             self.batch_sizes.append(len(reqs))
-            outcomes = self.backend.lex_solve_batch(reqs)
+            if TRACE:
+                for item, r in zip(live, reqs):
+                    trace(item[0].id, f"round {self.rounds}: solve rhs={r.rhs}")
+            with GLOBAL_TIMINGS.span("scheduler.solve_round"):
+                outcomes = self.backend.lex_solve_batch(reqs)
             nxt = []
             for item, out in zip(live, outcomes):
                 spec, g, _ = item

@@ -433,13 +433,15 @@ def make_pallas_lp_batch(
     )
 
     @jax.jit
-    def solve_batch(c, lo, hi):
-        # c/lo/hi arrive (NB, n+m) f32; pad columns (fixed-at-zero pads)
+    def _solve_batch_w(Wp_arg, c, lo, hi):
+        # W is a runtime argument (not a traced constant) so the persistent
+        # compilation cache is keyed on SHAPES only — every instance of the
+        # same (m, n) shape reuses one compile.
         zpad = jnp.zeros((NB, nc_p - (n + m)), jnp.float32)
         cp = jnp.concatenate([c, zpad], axis=1)
         lop = jnp.concatenate([lo, zpad], axis=1)
         hip = jnp.concatenate([hi, zpad], axis=1)
-        status, obj, z, basis, atup, iters = pallas_fn(Wp_j, cp, lop, hip)
+        status, obj, z, basis, atup, iters = pallas_fn(Wp_arg, cp, lop, hip)
         return (
             status[:, 0],
             obj[:, 0],
@@ -448,6 +450,9 @@ def make_pallas_lp_batch(
             atup[:, : n + m],
             iters[:, 0],
         )
+
+    def solve_batch(c, lo, hi):
+        return _solve_batch_w(Wp_j, c, lo, hi)
 
     meta = dict(m=m, nc=nc, n=n, m_p=m_p, nc_p=nc_p, chunk=CHUNK)
     return solve_batch, meta

@@ -56,6 +56,9 @@ class _StageTask:
         "best_x",
         "node_count",
         "failed",
+        "cvec",
+        "llo",
+        "lhi",
     )
 
     def __init__(self, req_idx, stage, obj_j, c_struct, obj_int, srhs, lb, ub):
@@ -70,6 +73,9 @@ class _StageTask:
         self.best_x: Optional[np.ndarray] = None
         self.node_count = 0
         self.failed = False
+        self.cvec = None  # (nc,) objective vector incl. logical zeros
+        self.llo = None  # logical lower bounds for this stage's srhs
+        self.lhi = None
 
 
 class WaveLexBackend:
@@ -191,7 +197,7 @@ class WaveLexBackend:
     def _stage_task(self, req_idx, stage, perm, srhs) -> _StageTask:
         j = perm[stage]
         sign = 1.0 if self.is_min else -1.0
-        return _StageTask(
+        t = _StageTask(
             req_idx,
             stage,
             j,
@@ -201,6 +207,9 @@ class WaveLexBackend:
             self.problem.lb,
             self.problem.ub,
         )
+        t.cvec = np.concatenate([t.c_struct, np.zeros(self.m)])
+        t.llo, t.lhi = self._logical_bounds(srhs)
+        return t
 
     def _logical_bounds(self, srhs):
         p = self.problem
@@ -291,24 +300,25 @@ class WaveLexBackend:
                     break
             nb = len(wave)
             for i, (task, nlo, nhi) in enumerate(wave):
-                llo, lhi = self._logical_bounds(task.srhs)
-                c_buf[i, : self.n] = task.c_struct
-                c_buf[i, self.n :] = 0.0
+                c_buf[i] = task.cvec
                 lo_buf[i, : self.n] = nlo
-                lo_buf[i, self.n :] = llo
+                lo_buf[i, self.n :] = task.llo
                 hi_buf[i, : self.n] = nhi
-                hi_buf[i, self.n :] = lhi
+                hi_buf[i, self.n :] = task.lhi
             if nb < B:
                 # pad with a copy of lane 0 (cheap, discarded)
                 c_buf[nb:] = c_buf[0]
                 lo_buf[nb:] = lo_buf[0]
                 hi_buf[nb:] = hi_buf[0]
 
-            out = self._lp_batch(
-                jnp.asarray(c_buf, dtype=self._dtype),
-                jnp.asarray(lo_buf, dtype=self._dtype),
-                jnp.asarray(hi_buf, dtype=self._dtype),
-            )
+            from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
+
+            with GLOBAL_TIMINGS.span("wave.device_lp"):
+                out = self._lp_batch(
+                    jnp.asarray(c_buf, dtype=self._dtype),
+                    jnp.asarray(lo_buf, dtype=self._dtype),
+                    jnp.asarray(hi_buf, dtype=self._dtype),
+                )
             status = np.asarray(out.status)
             objv = np.asarray(out.obj, dtype=np.float64)
             xs = np.asarray(out.x, dtype=np.float64)
@@ -316,14 +326,33 @@ class WaveLexBackend:
             self.lp_count += nb
 
             if self.f32:
-                status, objv, xs = self._certify_wave(
+                with GLOBAL_TIMINGS.span("wave.certify"):
+                    status, objv, xs = self._certify_wave(
                     np.array(c_buf[:nb]), np.array(lo_buf[:nb]),
                     np.array(hi_buf[:nb]),
                     np.array(status[:nb]), np.asarray(out.basis)[:nb],
                     np.asarray(out.at_upper)[:nb],
                 )
 
-            # ---- process on host ----------------------------------------
+            # ---- process on host (branch decisions vectorised) ----------
+            obj_int_arr = np.fromiter(
+                (w[0].obj_int for w in wave), dtype=bool, count=nb
+            )
+            bounds = np.where(
+                obj_int_arr, np.ceil(objv[:nb] - INT_TOL), objv[:nb]
+            )
+            if self.int_idx.size:
+                xi = xs[:nb][:, self.int_idx]
+                frs = np.abs(xi - np.rint(xi))
+                jmaxs = np.argmax(frs, axis=1)
+                lanes = np.arange(nb)
+                frmaxs = frs[lanes, jmaxs]
+                jlocs = self.int_idx[jmaxs]
+                fls = np.floor(xs[:nb][lanes, jlocs] + INT_TOL)
+            else:
+                frmaxs = np.zeros(nb)
+                jlocs = np.zeros(nb, dtype=np.int64)
+                fls = np.zeros(nb)
             for i, (task, nlo, nhi) in enumerate(wave):
                 task.node_count += 1
                 if task.failed:
@@ -336,20 +365,17 @@ class WaveLexBackend:
                     task.failed = True
                     task.nodes.clear()
                     continue
-                bound = objv[i]
-                if task.obj_int:
-                    bound = math.ceil(bound - INT_TOL)
-                if bound >= task.best - (INT_TOL if task.obj_int else 1e-9):
+                if bounds[i] >= task.best - (
+                    INT_TOL if task.obj_int else 1e-9
+                ):
                     continue
-                x = xs[i]
-                fr = np.abs(x[self.int_idx] - np.rint(x[self.int_idx]))
-                if fr.size == 0 or fr.max() <= INT_TOL:
+                if frmaxs[i] <= INT_TOL:
                     if objv[i] < task.best - INT_TOL:
                         task.best = objv[i]
-                        task.best_x = x.copy()
+                        task.best_x = xs[i].copy()
                     continue
-                jloc = self.int_idx[int(np.argmax(fr))]
-                fl = math.floor(x[jloc] + INT_TOL)
+                jloc = int(jlocs[i])
+                fl = fls[i]
                 up_lo = nlo.copy()
                 up_lo[jloc] = fl + 1
                 dn_hi = nhi.copy()

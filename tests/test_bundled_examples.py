@@ -1,0 +1,76 @@
+"""Self-consistency tests on the bundled (generated) example instances.
+
+The repo is standalone: `examples/` holds instances from
+utils/generate.py with committed golden fronts.  Every decomposition must
+reproduce the same front — the reference's own 5-config invariant
+(Examples/CMakeLists.txt:4-28) applied to our instances.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from moip_aira_tpu.api import solve_front
+from moip_aira_tpu.io import read_problem
+
+EX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+
+CASES = [f for f in ["2AP05", "3AP05", "3KP10"] if os.path.exists(f"{EX}/{f}.out")]
+
+
+def bundled_front(name):
+    rows = []
+    with open(f"{EX}/{name}.out") as fh:
+        for line in fh:
+            parts = line.split()
+            if parts and all(p.lstrip("-").isdigit() for p in parts):
+                rows.append([int(p) for p in parts])
+    return np.array(rows)
+
+
+@pytest.mark.parametrize("name", CASES)
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(n_workers=1),
+        dict(n_workers=3),
+        dict(n_workers=2, spread=False),
+        dict(n_workers=2, split=True),
+        dict(n_workers=3, split=True, split_normal=True),
+    ],
+    ids=["t1", "t3", "t2-cluster", "t2-split", "t3-split-normal"],
+)
+def test_bundled_golden(name, cfg):
+    p = read_problem(f"{EX}/{name}.lp")
+    front = solve_front(p, backend="numpy", **cfg)
+    expect = bundled_front(name)
+    assert front.points.shape == expect.shape
+    assert (front.points == expect).all()
+
+
+def test_generator_roundtrip(tmp_path):
+    from moip_aira_tpu.utils.generate import ap_lp, kp_lp, kp_mop
+
+    f = tmp_path / "ap.lp"
+    f.write_text(ap_lp(4, 2, seed=9))
+    p = read_problem(str(f))
+    assert p.objcnt == 2 and p.n == 16 and p.m_struct == 8
+    front = solve_front(p, backend="numpy")
+    assert front.solution_count >= 1
+    # front must be mutually nondominated
+    pts = front.points
+    for i in range(len(pts)):
+        for j in range(len(pts)):
+            if i != j:
+                assert not (
+                    (pts[i] <= pts[j]).all() and (pts[i] < pts[j]).any()
+                )
+
+    g = tmp_path / "kp.mop"
+    g.write_text(kp_mop(8, 2, seed=9, integer_ub=3))
+    q = read_problem(str(g))
+    assert q.objcnt == 2 and q.n == 8
+    assert (q.ub == 3).all()
+    front2 = solve_front(q, backend="numpy")
+    assert front2.solution_count >= 1

@@ -1,0 +1,53 @@
+"""Multi-chip mesh tests on the 8-virtual-device CPU mesh (conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_make_mesh_shapes():
+    from moip_aira_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    assert mesh.size == 8
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("workers", "strips")
+    m1 = make_mesh(1)
+    assert m1.size == 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_distributed_round_2ap05():
+    from moip_aira_tpu.io import read_problem
+    from moip_aira_tpu.parallel.mesh import (
+        make_distributed_round,
+        make_mesh,
+        shard_batch,
+    )
+    from moip_aira_tpu.parallel.symgroup import sym_perms
+
+    from conftest import EXAMPLES
+
+    p = read_problem(f"{EXAMPLES}/2AP05.lp")
+    mesh = make_mesh(8)
+    step, B = make_distributed_round(p, mesh, batch_per_device=1)
+    perms = sym_perms(p.objcnt)
+    import jax.numpy as jnp
+
+    rhs = shard_batch(mesh, jnp.asarray(np.tile(p.initial_rhs(), (B, 1))))
+    perm = shard_batch(
+        mesh,
+        jnp.asarray(
+            np.array([list(perms[i % len(perms)]) for i in range(B)], dtype=np.int32)
+        ),
+    )
+    status, results, all_status, lo, hi = step(rhs, perm)
+    assert (np.asarray(all_status) == 0).all()
+    res = np.asarray(results)
+    # identity-permutation lanes give the lexmin point (21, 55); the reversed
+    # permutation gives (50, 24) — the two ends of the golden front
+    assert {tuple(r) for r in res} == {(21, 55), (50, 24)}
+    # allreduced bound vectors = elementwise min/max over all lanes
+    assert np.asarray(lo)[0].tolist() == [21.0, 24.0]
+    assert np.asarray(hi)[0].tolist() == [50.0, 55.0]
