@@ -61,10 +61,9 @@ def aira_worker(
     sharing = t.sharing
     split = t.split
 
-    # local store: EPP workers write straight to the global store
-    from moip_aira_tpu.native import make_solutions
-
-    s = all_store if split else make_solutions(k)
+    # local store: EPP workers write straight to the global store (same
+    # concrete store type as the global one so merge() is homogeneous)
+    s = all_store if split else type(all_store)(k)
 
     inf_here = INF if is_min else -INF  # "unconstrained" RHS value
     step = -1.0 if is_min else 1.0  # direction RHS bounds are tightened

@@ -73,6 +73,7 @@ class NumpyLexBackend:
         hi = self._hi_base.copy()
         nrow_off = p.n + p.m_struct
         ips = 0
+        x_prev = None  # previous stage's optimum: feasible for the next stage
         for j in req.perm:
             # objective-bound rows: MIN -> C[j]@x <= srhs[j]; MAX -> >=
             if p.objsen is Sense.MIN:
@@ -84,7 +85,8 @@ class NumpyLexBackend:
                 hi[nrow_off : nrow_off + k] = INF
                 c = -p.C[j]
             r = solve_mip(
-                self.ws, c, lo, hi, self._is_int, self._obj_integral[j]
+                self.ws, c, lo, hi, self._is_int, self._obj_integral[j],
+                incumbent_x=x_prev,
             )
             ips += 1
             if r.status.is_infeasible:
@@ -93,6 +95,7 @@ class NumpyLexBackend:
                 raise RuntimeError(
                     f"MIP resource limit hit on objective {j} of {p.filename}"
                 )
+            x_prev = r.x
             val = r.obj if p.objsen is Sense.MIN else -r.obj
             result[j] = int(np.rint(val))
             srhs[j] = float(result[j])

@@ -41,6 +41,12 @@ class LPResult(NamedTuple):
     status: SolveStatus
     obj: float
     x: Optional[np.ndarray]  # structural variable values (n,)
+    #: reduced costs of all columns at the final basis (None unless optimal);
+    #: used for reduced-cost variable fixing in branch-and-bound
+    d: Optional[np.ndarray] = None
+    #: True for nonbasic-at-upper columns (with d, defines the fixing side)
+    at_upper: Optional[np.ndarray] = None
+    in_basis: Optional[np.ndarray] = None
 
 
 class SimplexWorkspace:
@@ -153,7 +159,15 @@ def solve_lp(
             # optimal
             z = zvals.copy()
             z[basis] = xB
-            return LPResult(SolveStatus.OPTIMAL, float(cz @ z), z[:n])
+            d_full = cz - cz[basis] @ T
+            return LPResult(
+                SolveStatus.OPTIMAL,
+                float(cz @ z),
+                z[:n],
+                d=d_full,
+                at_upper=at_upper.copy(),
+                in_basis=in_basis.copy(),
+            )
 
         if stall >= STALL_LIMIT:
             q = int(np.flatnonzero(eligible)[0])  # Bland

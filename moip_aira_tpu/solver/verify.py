@@ -36,6 +36,12 @@ class CertifiedBatch(NamedTuple):
     status: np.ndarray  # (B,) int32 (sx codes, only valid where ok)
     obj: np.ndarray  # (B,) f64 exact objective (where ok & optimal)
     x: np.ndarray  # (B, n) f64 exact structural solution
+    #: exact reduced costs (B, nc) and nonbasic-at-upper/in-basis masks for
+    #: reduced-cost fixing in the branch-and-bound layer (rows valid where
+    #: ok & optimal)
+    d: np.ndarray = None
+    at_upper: np.ndarray = None
+    in_basis: np.ndarray = None
 
 
 class LPVerifier:
@@ -62,9 +68,14 @@ class LPVerifier:
 
         claim_opt = status == sx.OPTIMAL
         claim_inf = status == sx.INFEASIBLE
+        out_d = np.zeros((B, nc))
+        out_atup = np.zeros((B, nc), dtype=bool)
+        out_inb = np.zeros((B, nc), dtype=bool)
         interesting = claim_opt | claim_inf
         if not interesting.any():
-            return CertifiedBatch(ok, out_status, out_obj, out_x)
+            return CertifiedBatch(
+                ok, out_status, out_obj, out_x, out_d, out_atup, out_inb
+            )
 
         idx = np.flatnonzero(interesting)
         basis_i = basis[idx]  # (b, m)
@@ -128,7 +139,12 @@ class LPVerifier:
         obj_i = (c[idx] * z).sum(axis=1)
         out_obj[idx] = np.where(cl_opt, obj_i, np.nan)
         out_x[idx] = z[:, :n]
-        return CertifiedBatch(ok, out_status, out_obj, out_x)
+        out_d[idx] = d
+        out_atup[idx] = at_upper[idx] | (~finite_lo & finite_hi)
+        out_inb[idx] = in_basis
+        return CertifiedBatch(
+            ok, out_status, out_obj, out_x, out_d, out_atup, out_inb
+        )
 
 
 def _batch_solve(mats: np.ndarray, rhs: np.ndarray):

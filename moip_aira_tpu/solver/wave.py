@@ -59,6 +59,8 @@ class _StageTask:
         "cvec",
         "llo",
         "lhi",
+        "ls_budget",
+        "fix_d",
     )
 
     def __init__(self, req_idx, stage, obj_j, c_struct, obj_int, srhs, lb, ub):
@@ -76,6 +78,8 @@ class _StageTask:
         self.cvec = None  # (nc,) objective vector incl. logical zeros
         self.llo = None  # logical lower bounds for this stage's srhs
         self.lhi = None
+        self.ls_budget = 4  # local-search polish calls for this MIP
+        self.fix_d = True  # reduced-cost fixing enabled
 
 
 class WaveLexBackend:
@@ -117,6 +121,7 @@ class WaveLexBackend:
         self.m = p.m_total
         self.is_min = p.objsen is Sense.MIN
         A_full = np.vstack([p.A, p.C])
+        self._A_full = A_full
         W_np = np.hstack([A_full, -np.eye(self.m)])
         if self.engine == "pallas":
             from moip_aira_tpu.solver.pallas_lp import make_pallas_lp_batch
@@ -194,7 +199,7 @@ class WaveLexBackend:
         self._fallback = NumpyLexBackend(problem)
 
     # -- stage plumbing ----------------------------------------------------
-    def _stage_task(self, req_idx, stage, perm, srhs) -> _StageTask:
+    def _stage_task(self, req_idx, stage, perm, srhs, x_warm=None) -> _StageTask:
         j = perm[stage]
         sign = 1.0 if self.is_min else -1.0
         t = _StageTask(
@@ -209,6 +214,24 @@ class WaveLexBackend:
         )
         t.cvec = np.concatenate([t.c_struct, np.zeros(self.m)])
         t.llo, t.lhi = self._logical_bounds(srhs)
+        if x_warm is not None:
+            # the previous stage's optimum is feasible here (its objective
+            # bound was fixed at the achieved value) -> warm incumbent,
+            # polished by 1-swap local search (solver/heuristics.py)
+            from moip_aira_tpu.solver.heuristics import candidate_value, local_search
+
+            glo = np.concatenate([self.problem.lb, t.llo])
+            ghi = np.concatenate([self.problem.ub, t.lhi])
+            v = candidate_value(self._A_full, t.c_struct, glo, ghi, x_warm)
+            if v is not None:
+                bx = np.asarray(x_warm, dtype=np.float64).copy()
+                if self.int_idx.size:
+                    bx, v = local_search(
+                        self._A_full, t.c_struct, glo, ghi, bx, self.int_idx
+                    )
+                    t.ls_budget -= 1
+                t.best = v
+                t.best_x = bx
         return t
 
     def _logical_bounds(self, srhs):
@@ -229,6 +252,7 @@ class WaveLexBackend:
         cert = self._verifier.certify(c, lo, hi, status, basis, at_upper)
         objv = np.where(cert.ok, cert.obj, np.nan)
         xs = cert.x
+        self._last_cert = cert
         bad = np.flatnonzero(
             ~cert.ok
             & ((status == sx.OPTIMAL) | (status == sx.INFEASIBLE))
@@ -278,6 +302,8 @@ class WaveLexBackend:
         infeasible = np.zeros(n_req, dtype=bool)
         srhs_by_req = [np.asarray(r.rhs, dtype=np.float64).copy() for r in reqs]
         perms = [list(r.perm) for r in reqs]
+        xwarm_by_req = [None] * n_req
+        self._last_cert = None
 
         active: List[_StageTask] = [
             self._stage_task(i, 0, perms[i], srhs_by_req[i]) for i in range(n_req)
@@ -374,15 +400,81 @@ class WaveLexBackend:
                         task.best = objv[i]
                         task.best_x = xs[i].copy()
                     continue
+
+                # rounding + local-search heuristic (budgeted per MIP)
+                if task.ls_budget > 0 and self.int_idx.size:
+                    from moip_aira_tpu.solver.heuristics import (
+                        candidate_value,
+                        local_search,
+                    )
+
+                    glo = np.concatenate([self.problem.lb, task.llo])
+                    ghi = np.concatenate([self.problem.ub, task.lhi])
+                    cand = xs[i].copy()
+                    cand[self.int_idx] = np.clip(
+                        np.rint(cand[self.int_idx]), nlo[self.int_idx],
+                        nhi[self.int_idx],
+                    )
+                    v = candidate_value(
+                        self._A_full, task.c_struct, glo, ghi, cand
+                    )
+                    if v is not None:
+                        task.ls_budget -= 1
+                        cand, v = local_search(
+                            self._A_full, task.c_struct, glo, ghi, cand,
+                            self.int_idx,
+                        )
+                        if v < task.best - INT_TOL:
+                            task.best = v
+                            task.best_x = cand.copy()
+                            if bounds[i] >= task.best - (
+                                INT_TOL if task.obj_int else 1e-9
+                            ):
+                                continue
+
+                # reduced-cost fixing from the exact certificate
+                child_lo = nlo
+                child_hi = nhi
+                cert = getattr(self, "_last_cert", None)
+                if (
+                    task.fix_d
+                    and cert is not None
+                    and cert.d is not None
+                    and np.isfinite(task.best)
+                ):
+                    margin = (
+                        task.best
+                        - (1.0 if task.obj_int else 0.0)
+                        - objv[i]
+                        + INT_TOL
+                    )
+                    if np.isfinite(margin):
+                        dx = cert.d[i][self.int_idx]
+                        nbm = ~cert.in_basis[i][self.int_idx]
+                        upm = cert.at_upper[i][self.int_idx]
+                        f_lo = nbm & ~upm & (dx > margin)
+                        f_hi = nbm & upm & (-dx > margin)
+                        if f_lo.any() or f_hi.any():
+                            child_lo = nlo.copy()
+                            child_hi = nhi.copy()
+                            ids = self.int_idx[f_lo | f_hi]
+                            vals = np.rint(xs[i][ids])
+                            child_lo[ids] = vals
+                            child_hi[ids] = vals
+
                 jloc = int(jlocs[i])
                 fl = fls[i]
-                up_lo = nlo.copy()
+                up_lo = child_lo.copy()
                 up_lo[jloc] = fl + 1
-                dn_hi = nhi.copy()
+                dn_hi = child_hi.copy()
                 dn_hi[jloc] = fl
-                # DFS: down child on top
-                task.nodes.append((up_lo, nhi))
-                task.nodes.append((nlo, dn_hi))
+                # DFS toward the LP value: nearer child on top
+                if xs[i][jloc] - fl > 0.5:
+                    task.nodes.append((child_lo, dn_hi))
+                    task.nodes.append((up_lo, child_hi))
+                else:
+                    task.nodes.append((up_lo, child_hi))
+                    task.nodes.append((child_lo, dn_hi))
 
             # ---- advance finished stages --------------------------------
             still: List[_StageTask] = []
@@ -406,10 +498,14 @@ class WaveLexBackend:
                 vi = int(np.rint(val))
                 results[ri][task.obj_j] = vi
                 srhs_by_req[ri][task.obj_j] = float(vi)
+                xwarm_by_req[ri] = task.best_x
                 nxt = task.stage + 1
                 if nxt < self.k:
                     still.append(
-                        self._stage_task(ri, nxt, perms[ri], srhs_by_req[ri])
+                        self._stage_task(
+                            ri, nxt, perms[ri], srhs_by_req[ri],
+                            x_warm=xwarm_by_req[ri],
+                        )
                     )
             active = still
 
