@@ -38,7 +38,12 @@ class FrontResult:
         return int(self.points.shape[0])
 
 
-def make_backend(problem: Problem, backend: str = "auto"):
+def make_backend(problem: Problem, backend: str = "auto", mesh_devices=None):
+    mesh = None
+    if mesh_devices:
+        from moip_aira_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(mesh_devices)
     if backend == "numpy":
         from moip_aira_tpu.solver.lex import NumpyLexBackend
 
@@ -46,7 +51,7 @@ def make_backend(problem: Problem, backend: str = "auto"):
     if backend == "wave":
         from moip_aira_tpu.solver.wave import WaveLexBackend
 
-        return WaveLexBackend(problem)
+        return WaveLexBackend(problem, mesh=mesh)
     if backend == "jax":
         from moip_aira_tpu.solver.lex_jax import JaxLexBackend
 
@@ -72,7 +77,7 @@ def make_backend(problem: Problem, backend: str = "auto"):
         # while-loop kernel compiles far too slowly on the TPU toolchain
         from moip_aira_tpu.solver.wave import WaveLexBackend
 
-        return WaveLexBackend(problem)
+        return WaveLexBackend(problem, mesh=mesh)
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -83,6 +88,7 @@ def solve_front(
     split: bool = False,
     split_normal: bool = False,
     backend: str = "auto",
+    mesh_devices=None,
 ) -> FrontResult:
     """Compute the exact nondominated set of ``problem``.
 
@@ -94,7 +100,7 @@ def solve_front(
     t_wall0 = time.monotonic()
     n_workers = max(1, n_workers)
 
-    be = make_backend(problem, backend)
+    be = make_backend(problem, backend, mesh_devices=mesh_devices)
     sched = Scheduler(problem, be)
     k = problem.objcnt
     all_store = make_solutions(k)

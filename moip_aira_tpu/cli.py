@@ -50,6 +50,9 @@ def build_argparser() -> argparse.ArgumentParser:
                          "batches branch-and-bound nodes instead.")
     ap.add_argument("--backend", choices=("auto", "jax", "wave", "numpy"),
                     default="auto", help="Solve kernel backend.")
+    ap.add_argument("--mesh", dest="mesh", type=int, default=None,
+                    help="Shard solve batches over an N-device mesh "
+                         "(wave backend).")
     ap.add_argument("--version", action="version",
                     version=f"moip-aira-tpu {__version__}")
     return ap
@@ -71,6 +74,7 @@ def main(argv=None) -> int:
         split=args.split,
         split_normal=args.split_normal,
         backend=args.backend,
+        mesh_devices=args.mesh,
     )
 
     with open(out_path, "w") as fh:

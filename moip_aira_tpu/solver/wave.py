@@ -96,6 +96,7 @@ class WaveLexBackend:
         max_nodes: int = 500000,
         dtype: str = "float32",
         engine: str = "auto",
+        mesh=None,
     ):
         jax.config.update("jax_enable_x64", True)
         _enable_persistent_cache()
@@ -104,6 +105,12 @@ class WaveLexBackend:
         self.nodes_per_task = nodes_per_task
         self.max_nodes = max_nodes
         self.f32 = dtype == "float32"
+        self.mesh = mesh
+        if mesh is not None and batch_width % mesh.size != 0:
+            raise ValueError(
+                f"batch_width {batch_width} must divide evenly over the "
+                f"{mesh.size}-device mesh"
+            )
         if engine == "auto":
             # Pallas/Mosaic on real accelerators (fast compile, no cycling);
             # the XLA while-loop kernel on CPU (pallas interpret is slow)
@@ -127,10 +134,26 @@ class WaveLexBackend:
             from moip_aira_tpu.solver.pallas_lp import make_pallas_lp_batch
 
             self.f32 = True
+            per_dev = batch_width // (mesh.size if mesh is not None else 1)
             pfn, pmeta = make_pallas_lp_batch(
-                W_np.astype(np.float32), batch_width, max_iters=lp_max_iters
+                W_np.astype(np.float32), per_dev, max_iters=lp_max_iters
             )
             self._pallas_meta = pmeta
+            if mesh is not None:
+                # one kernel invocation per chip, batch dim sharded over the
+                # whole mesh (parallel/mesh.py owns the collective side)
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                axes = tuple(mesh.axis_names)
+                bspec = P(axes, None)
+                pfn = shard_map(
+                    pfn,
+                    mesh=mesh,
+                    in_specs=(bspec, bspec, bspec),
+                    out_specs=(P(axes), P(axes), bspec, bspec, bspec, P(axes)),
+                    check_rep=False,
+                )
 
             def _run(c, lo, hi):
                 # the pallas kernel is pure f32/i32; tracing it under the
@@ -183,7 +206,16 @@ class WaveLexBackend:
         self._verifier = LPVerifier(W_np) if self.f32 else None
         self._ws = None  # lazy SimplexWorkspace for per-lane exact fallback
         self.verify_fallbacks = 0
-        self._lp_batch = jax.jit(jax.vmap(lp))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(mesh.axis_names)
+            bsh = NamedSharding(mesh, P(axes, None))
+            self._lp_batch = jax.jit(
+                jax.vmap(lp), in_shardings=(bsh, bsh, bsh)
+            )
+        else:
+            self._lp_batch = jax.jit(jax.vmap(lp))
         self.int_idx = np.flatnonzero(p.is_int)
         self.obj_integral = np.array(
             [

@@ -51,3 +51,16 @@ def test_distributed_round_2ap05():
     # allreduced bound vectors = elementwise min/max over all lanes
     assert np.asarray(lo)[0].tolist() == [21.0, 24.0]
     assert np.asarray(hi)[0].tolist() == [50.0, 55.0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_wave_backend_mesh_sharded():
+    """Full front computation with LP waves sharded over the CPU mesh."""
+    from moip_aira_tpu.api import solve_front
+    from moip_aira_tpu.io import read_problem
+
+    from conftest import EXAMPLES
+
+    p = read_problem(f"{EXAMPLES}/2AP05.lp")
+    front = solve_front(p, n_workers=2, backend="wave", mesh_devices=8)
+    assert front.solution_count == 9
