@@ -54,12 +54,12 @@ def main() -> int:
     # replicate the grid with perturbed first-objective caps for saturation
     extra = []
     for r in reqs:
-        for d in (1, 2):
+        for d in (1, 2, 3, 4, 5):
             rhs = r.rhs.copy()
             if np.isfinite(rhs).any():
                 rhs[np.isfinite(rhs)] += d
             extra.append(LexRequest(rhs=rhs, perm=r.perm))
-    reqs = (reqs + extra)[:960]
+    reqs = (reqs + extra)[:1920]
 
     # --- warm-up (compile; persistent-cached across runs) ------------------
     t0 = time.time()

@@ -38,12 +38,21 @@ class FrontResult:
         return int(self.points.shape[0])
 
 
-def make_backend(problem: Problem, backend: str = "auto", mesh_devices=None):
+def make_backend(
+    problem: Problem,
+    backend: str = "auto",
+    mesh_devices=None,
+    solver_threads: int = 1,
+):
+    """``solver_threads`` mirrors the reference's `-c` knob (CPLEX-internal
+    threads per worker, aira.cpp:236-239): here it scales the number of
+    branch-and-bound nodes each MIP contributes to a device wave."""
     mesh = None
     if mesh_devices:
         from moip_aira_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(mesh_devices)
+    npt = max(8, 8 * max(1, solver_threads))
     if backend == "numpy":
         from moip_aira_tpu.solver.lex import NumpyLexBackend
 
@@ -51,7 +60,7 @@ def make_backend(problem: Problem, backend: str = "auto", mesh_devices=None):
     if backend == "wave":
         from moip_aira_tpu.solver.wave import WaveLexBackend
 
-        return WaveLexBackend(problem, mesh=mesh)
+        return WaveLexBackend(problem, mesh=mesh, nodes_per_task=npt)
     if backend == "jax":
         from moip_aira_tpu.solver.lex_jax import JaxLexBackend
 
@@ -77,7 +86,7 @@ def make_backend(problem: Problem, backend: str = "auto", mesh_devices=None):
         # while-loop kernel compiles far too slowly on the TPU toolchain
         from moip_aira_tpu.solver.wave import WaveLexBackend
 
-        return WaveLexBackend(problem, mesh=mesh)
+        return WaveLexBackend(problem, mesh=mesh, nodes_per_task=npt)
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -89,6 +98,7 @@ def solve_front(
     split_normal: bool = False,
     backend: str = "auto",
     mesh_devices=None,
+    solver_threads: int = 1,
 ) -> FrontResult:
     """Compute the exact nondominated set of ``problem``.
 
@@ -100,7 +110,10 @@ def solve_front(
     t_wall0 = time.monotonic()
     n_workers = max(1, n_workers)
 
-    be = make_backend(problem, backend, mesh_devices=mesh_devices)
+    be = make_backend(
+        problem, backend, mesh_devices=mesh_devices,
+        solver_threads=solver_threads,
+    )
     sched = Scheduler(problem, be)
     k = problem.objcnt
     all_store = make_solutions(k)

@@ -75,6 +75,7 @@ def main(argv=None) -> int:
         split_normal=args.split_normal,
         backend=args.backend,
         mesh_devices=args.mesh,
+        solver_threads=args.solver_threads,
     )
 
     with open(out_path, "w") as fh:

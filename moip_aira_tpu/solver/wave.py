@@ -61,6 +61,7 @@ class _StageTask:
         "lhi",
         "ls_budget",
         "fix_d",
+        "inflight",
     )
 
     def __init__(self, req_idx, stage, obj_j, c_struct, obj_int, srhs, lb, ub):
@@ -80,6 +81,7 @@ class _StageTask:
         self.lhi = None
         self.ls_budget = 4  # local-search polish calls for this MIP
         self.fix_d = True  # reduced-cost fixing enabled
+        self.inflight = 0  # nodes currently inside an unprocessed wave
 
 
 class WaveLexBackend:
@@ -157,9 +159,15 @@ class WaveLexBackend:
 
             def _run(c, lo, hi):
                 # the pallas kernel is pure f32/i32; tracing it under the
-                # global x64 mode trips a jax recursion bug, so scope it out
+                # global x64 mode trips a jax recursion bug, so scope it out.
+                # c/lo/hi arrive stacked as one upload; split on device.
                 with jax.enable_x64(False):
-                    status, obj, x, basis, atup, iters = pfn(c, lo, hi)
+                    clh = jnp.asarray(
+                        np.stack([c, lo, hi]), dtype=jnp.float32
+                    )
+                    status, obj, x, basis, atup, iters = pfn(
+                        clh[0], clh[1], clh[2]
+                    )
                 return sx.LPOutcome(
                     status=status, obj=obj, x=x, basis=basis,
                     at_upper=atup, iters=iters,
@@ -211,11 +219,16 @@ class WaveLexBackend:
 
             axes = tuple(mesh.axis_names)
             bsh = NamedSharding(mesh, P(axes, None))
-            self._lp_batch = jax.jit(
-                jax.vmap(lp), in_shardings=(bsh, bsh, bsh)
-            )
+            inner = jax.jit(jax.vmap(lp), in_shardings=(bsh, bsh, bsh))
         else:
-            self._lp_batch = jax.jit(jax.vmap(lp))
+            inner = jax.jit(jax.vmap(lp))
+        dt = self._dtype
+
+        def _run_xla(c, lo, hi):
+            clh = jnp.asarray(np.stack([c, lo, hi]), dtype=dt)
+            return inner(clh[0], clh[1], clh[2])
+
+        self._lp_batch = _run_xla
         self.int_idx = np.flatnonzero(p.is_int)
         self.obj_integral = np.array(
             [
@@ -324,75 +337,72 @@ class WaveLexBackend:
                     status[i] = sx.ITER_LIMIT
         return status, objv, xs
 
-    # -- main entry --------------------------------------------------------
-    def lex_solve_batch(self, reqs: List[LexRequest]) -> List[LexOutcome]:
-        if not reqs:
-            return []
-        n_req = len(reqs)
-        results = np.zeros((n_req, self.k), dtype=np.int64)
-        ips = np.zeros(n_req, dtype=np.int64)
-        infeasible = np.zeros(n_req, dtype=bool)
-        srhs_by_req = [np.asarray(r.rhs, dtype=np.float64).copy() for r in reqs]
-        perms = [list(r.perm) for r in reqs]
-        xwarm_by_req = [None] * n_req
-        self._last_cert = None
+    # -- wave submit / complete --------------------------------------------
+    def _submit_wave(self, active: List[_StageTask]):
+        """Gather open nodes from ``active`` and start an async device call.
 
-        active: List[_StageTask] = [
-            self._stage_task(i, 0, perms[i], srhs_by_req[i]) for i in range(n_req)
-        ]
-
+        Returns (wave, buffers, device_out) or None if nothing is pending.
+        The device call is NOT waited on — the caller can overlap host work
+        (completing another pool's wave) with this one's device time.
+        """
         B = self.batch_width
         nc = self.n + self.m
+        wave: List = []  # (task, node_lo, node_hi)
+        for task in active:
+            take = min(self.nodes_per_task, len(task.nodes), B - len(wave))
+            for _ in range(take):
+                wave.append((task, *task.nodes.pop()))
+            task.inflight += take
+            if len(wave) >= B:
+                break
+        nb = len(wave)
+        if nb == 0:
+            return None
         c_buf = np.zeros((B, nc))
         lo_buf = np.zeros((B, nc))
         hi_buf = np.zeros((B, nc))
+        for i, (task, nlo, nhi) in enumerate(wave):
+            c_buf[i] = task.cvec
+            lo_buf[i, : self.n] = nlo
+            lo_buf[i, self.n :] = task.llo
+            hi_buf[i, : self.n] = nhi
+            hi_buf[i, self.n :] = task.lhi
+        if nb < B:
+            # pad with a copy of lane 0 (cheap, discarded)
+            c_buf[nb:] = c_buf[0]
+            lo_buf[nb:] = lo_buf[0]
+            hi_buf[nb:] = hi_buf[0]
+        out = self._lp_batch(c_buf, lo_buf, hi_buf)
+        return wave, nb, c_buf, lo_buf, hi_buf, out
 
-        while active:
-            # ---- gather a wave of nodes ---------------------------------
-            wave: List = []  # (task, node_lo, node_hi)
-            for task in active:
-                take = min(self.nodes_per_task, len(task.nodes), B - len(wave))
-                for _ in range(take):
-                    wave.append((task, *task.nodes.pop()))
-                if len(wave) >= B:
-                    break
-            nb = len(wave)
-            for i, (task, nlo, nhi) in enumerate(wave):
-                c_buf[i] = task.cvec
-                lo_buf[i, : self.n] = nlo
-                lo_buf[i, self.n :] = task.llo
-                hi_buf[i, : self.n] = nhi
-                hi_buf[i, self.n :] = task.lhi
-            if nb < B:
-                # pad with a copy of lane 0 (cheap, discarded)
-                c_buf[nb:] = c_buf[0]
-                lo_buf[nb:] = lo_buf[0]
-                hi_buf[nb:] = hi_buf[0]
+    def _complete_wave(self, submitted, state) -> None:
+        """Fetch, certify and branch-process one in-flight wave."""
+        wave, nb, c_buf, lo_buf, hi_buf, out = submitted
+        from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
-            from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
+        with GLOBAL_TIMINGS.span("wave.device_lp"):
+            # ONE device->host transfer for all outputs — per-array fetches
+            # each pay the full tunnel round-trip latency
+            status, objv, xs, basis_h, atup_h = jax.device_get(
+                (out.status, out.obj, out.x, out.basis, out.at_upper)
+            )
+        status = np.asarray(status)
+        objv = np.asarray(objv, dtype=np.float64)
+        xs = np.asarray(xs, dtype=np.float64)
+        self.device_waves += 1
+        self.lp_count += nb
 
-            with GLOBAL_TIMINGS.span("wave.device_lp"):
-                out = self._lp_batch(
-                    jnp.asarray(c_buf, dtype=self._dtype),
-                    jnp.asarray(lo_buf, dtype=self._dtype),
-                    jnp.asarray(hi_buf, dtype=self._dtype),
-                )
-            status = np.asarray(out.status)
-            objv = np.asarray(out.obj, dtype=np.float64)
-            xs = np.asarray(out.x, dtype=np.float64)
-            self.device_waves += 1
-            self.lp_count += nb
-
-            if self.f32:
-                with GLOBAL_TIMINGS.span("wave.certify"):
-                    status, objv, xs = self._certify_wave(
+        if self.f32:
+            with GLOBAL_TIMINGS.span("wave.certify"):
+                status, objv, xs = self._certify_wave(
                     np.array(c_buf[:nb]), np.array(lo_buf[:nb]),
                     np.array(hi_buf[:nb]),
-                    np.array(status[:nb]), np.asarray(out.basis)[:nb],
-                    np.asarray(out.at_upper)[:nb],
+                    np.array(status[:nb]), np.asarray(basis_h)[:nb],
+                    np.asarray(atup_h)[:nb],
                 )
 
-            # ---- process on host (branch decisions vectorised) ----------
+        # ---- process on host (branch decisions vectorised) ----------
+        if True:
             obj_int_arr = np.fromiter(
                 (w[0].obj_int for w in wave), dtype=bool, count=nb
             )
@@ -413,6 +423,7 @@ class WaveLexBackend:
                 fls = np.zeros(nb)
             for i, (task, nlo, nhi) in enumerate(wave):
                 task.node_count += 1
+                task.inflight -= 1
                 if task.failed:
                     continue
                 st = int(status[i])
@@ -508,38 +519,85 @@ class WaveLexBackend:
                     task.nodes.append((up_lo, child_hi))
                     task.nodes.append((child_lo, dn_hi))
 
-            # ---- advance finished stages --------------------------------
-            still: List[_StageTask] = []
-            for task in active:
-                if task.nodes and not task.failed:
-                    still.append(task)
-                    continue
-                ri = task.req_idx
-                ips[ri] += 1
-                if task.failed:
-                    # exact host fallback for the whole request
-                    fb = self._fallback.lex_solve(reqs[ri])
-                    infeasible[ri] = fb.status.is_infeasible
-                    if fb.result is not None:
-                        results[ri] = fb.result
-                    continue
-                if not np.isfinite(task.best):
-                    infeasible[ri] = True
-                    continue
-                val = task.best if self.is_min else -task.best
-                vi = int(np.rint(val))
-                results[ri][task.obj_j] = vi
-                srhs_by_req[ri][task.obj_j] = float(vi)
-                xwarm_by_req[ri] = task.best_x
-                nxt = task.stage + 1
-                if nxt < self.k:
-                    still.append(
-                        self._stage_task(
-                            ri, nxt, perms[ri], srhs_by_req[ri],
-                            x_warm=xwarm_by_req[ri],
-                        )
+    def _advance_pool(self, pool: List[_StageTask], state) -> List[_StageTask]:
+        """Finish tasks whose stacks drained; start their next stages."""
+        reqs, results, ips, infeasible, srhs_by_req, perms, xwarm_by_req = state
+        still: List[_StageTask] = []
+        for task in pool:
+            if (task.nodes and not task.failed) or task.inflight > 0:
+                still.append(task)
+                continue
+            ri = task.req_idx
+            ips[ri] += 1
+            if task.failed:
+                # exact host fallback for the whole request
+                fb = self._fallback.lex_solve(reqs[ri])
+                infeasible[ri] = fb.status.is_infeasible
+                if fb.result is not None:
+                    results[ri] = fb.result
+                continue
+            if not np.isfinite(task.best):
+                infeasible[ri] = True
+                continue
+            val = task.best if self.is_min else -task.best
+            vi = int(np.rint(val))
+            results[ri][task.obj_j] = vi
+            srhs_by_req[ri][task.obj_j] = float(vi)
+            xwarm_by_req[ri] = task.best_x
+            nxt = task.stage + 1
+            if nxt < self.k:
+                still.append(
+                    self._stage_task(
+                        ri, nxt, perms[ri], srhs_by_req[ri],
+                        x_warm=xwarm_by_req[ri],
                     )
-            active = still
+                )
+        return still
+
+    # -- main entry --------------------------------------------------------
+    def lex_solve_batch(self, reqs: List[LexRequest]) -> List[LexOutcome]:
+        """Run all requests to completion with TWO pipelined task pools:
+        while the device solves pool A's LP wave, the host certifies,
+        branches and re-submits pool B's — hiding the dispatch round-trip
+        and the host bookkeeping behind device time."""
+        if not reqs:
+            return []
+        n_req = len(reqs)
+        results = np.zeros((n_req, self.k), dtype=np.int64)
+        ips = np.zeros(n_req, dtype=np.int64)
+        infeasible = np.zeros(n_req, dtype=bool)
+        srhs_by_req = [np.asarray(r.rhs, dtype=np.float64).copy() for r in reqs]
+        perms = [list(r.perm) for r in reqs]
+        xwarm_by_req = [None] * n_req
+        self._last_cert = None
+        state = (reqs, results, ips, infeasible, srhs_by_req, perms, xwarm_by_req)
+
+        pool = [
+            self._stage_task(i, 0, perms[i], srhs_by_req[i])
+            for i in range(n_req)
+        ]
+        from collections import deque
+
+        inflight = deque()
+        B = self.batch_width
+        while pool or inflight:
+            # keep up to 2 waves in flight: the device solves one while the
+            # host certifies/branches the other. A second wave is only worth
+            # its dispatch cost when it can be reasonably full.
+            while len(inflight) < 2:
+                if inflight:
+                    pending = sum(len(t.nodes) for t in pool)
+                    if pending < B // 2:
+                        break
+                sub = self._submit_wave(pool)
+                if sub is None:
+                    break
+                inflight.append(sub)
+            if inflight:
+                self._complete_wave(inflight.popleft(), state)
+                pool = self._advance_pool(pool, state)
+            else:
+                break  # nothing submittable and nothing pending
 
         out: List[LexOutcome] = []
         for i in range(n_req):
