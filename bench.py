@@ -40,7 +40,7 @@ def main() -> int:
 
     p = read_problem(os.path.join(EXAMPLES, "2AP05.lp"))
 
-    be = WaveLexBackend(p, batch_width=1024, nodes_per_task=16)
+    be = WaveLexBackend(p, batch_width=1024, nodes_per_task=32)
 
     # --- workload: distinct subproblems over the front's bound space -------
     reqs = []
