@@ -100,6 +100,8 @@ def make_pallas_lp_batch(
         c_ref,
         lo_ref,
         hi_ref,
+        wb_ref,
+        wa_ref,
         status_ref,
         obj_ref,
         z_ref,
@@ -125,39 +127,120 @@ def make_pallas_lp_batch(
         col_valid = (col_ids < n + m).astype(jnp.float32)
 
         # ---- init ----------------------------------------------------------
-        # tableau for the logical basis B = -I  =>  T0 = -W
-        T[...] = jnp.broadcast_to(-W_ref[...][None], (B, m_p, nc_p))
+        # warm lanes carry a starting basis (wb_ref[:,0] >= 0): rebuild their
+        # tableau as B^-1 W by Gauss-Jordan; cold lanes use the logical basis
+        # B = -I => T0 = -W.  The GJ pivots are masked per lane, and a lane
+        # whose warm basis turns out singular falls back to the cold start.
+        warm0 = wb_ref[:, 0] >= 0  # (B,)
         is_struct = col_ids < n  # (1, nc_p)
         at0 = is_struct & ~finite_lo & finite_hi
-        atup[...] = at0.astype(jnp.int32)
-        is_logical = (col_ids >= n) & (col_ids < n + m_p)
-        inb[...] = jnp.broadcast_to(is_logical, (B, nc_p)).astype(jnp.int32)
-        basis_ref[...] = jnp.broadcast_to(
-            n + row_ids, (B, m_p)
-        ).astype(jnp.int32)
-        zv0 = jnp.where(
-            at0 & finite_hi, hi, jnp.where(finite_lo, lo, jnp.where(finite_hi, hi, 0.0))
+
+        def eb_(v):
+            return v.astype(jnp.int32)[:, None] > 0
+
+        def eb3_(v):
+            return v.astype(jnp.int32)[:, None, None] > 0
+
+        Wb = jnp.broadcast_to(W_ref[...][None], (B, m_p, nc_p))
+        T[...] = jnp.where(eb3_(warm0), Wb, -Wb)
+
+        rid_b = jax.lax.broadcasted_iota(jnp.int32, (B, m_p), 1)
+        # basis-column membership mask (union over the warm basis entries)
+        onehot_wb = (
+            jax.lax.broadcasted_iota(jnp.int32, (m_p, nc_p), 1)[None]
+            == wb_ref[...][:, :, None]
+        ).astype(jnp.float32)
+        rem_cols0 = jnp.minimum(jnp.sum(onehot_wb, axis=1), 1.0)  # (B, nc_p)
+
+        # Gauss-Jordan with greedy partial pivoting: the basis-to-row
+        # correspondence is free, so each step picks the (row, basis-column)
+        # pair with the largest |T| among unassigned rows / remaining
+        # columns.  All per-step state lives in scratch refs — Mosaic cannot
+        # legalize fori_loops that carry large vector state, so xB doubles
+        # as the assigned-row mask, atup as the remaining-column mask and
+        # stall[:,0] as the per-lane ok flag during this init phase.
+        basis_cold = jnp.broadcast_to(n + row_ids, (B, m_p)).astype(jnp.int32)
+        basis_ref[...] = basis_cold
+        xB[...] = jnp.zeros((B, m_p), jnp.float32)  # assigned-row mask
+        atup[...] = rem_cols0.astype(jnp.int32)  # remaining-column mask
+        stall[...] = jnp.broadcast_to(
+            warm0.astype(jnp.int32)[:, None], (B, 128)
         )
-        zv0 = jnp.where(is_struct, zv0, 0.0)  # logicals basic; pads fixed 0
-        # xB = -T0[:, nonbasic] @ zN  (only structural cols are nonbasic)
-        xB[...] = -jnp.sum(T[...] * zv0[:, None, :], axis=2)
-        # basic bounds: logical col n+i has bounds lo[n+i], hi[n+i] (pads 0)
-        log_sel = (col_ids >= n) & (col_ids < n + m)  # (1, nc_p)
-        lo_log = jnp.where(log_sel, lo, 0.0)
-        hi_log = jnp.where(log_sel, hi, 0.0)
-        # scatter logical bounds to rows: row i <- col n+i
+
+        def gj_step(i, _):
+            okw = stall[:, 0] > 0  # warm lanes still reconstructing
+            assigned = xB[...]
+            rem_cols = atup[...].astype(jnp.float32)
+            scores = (
+                jnp.abs(T[...])
+                * (1.0 - assigned)[:, :, None]
+                * rem_cols[:, None, :]
+            )
+            rowmax = jnp.max(scores, axis=2)  # (B, m_p)
+            r = jnp.argmax(rowmax, axis=1).astype(jnp.int32)  # (B,)
+            rmask = (rid_b == r[:, None]).astype(jnp.float32)  # (B, m_p)
+            scores_r = jnp.sum(scores * rmask[:, :, None], axis=1)  # (B, nc_p)
+            cb = jnp.argmax(scores_r, axis=1).astype(jnp.int32)  # (B,)
+            cmask = (col_ids == cb[:, None]).astype(jnp.float32)  # (B, nc_p)
+            pivcol = jnp.sum(T[...] * cmask[:, None, :], axis=2)  # (B, m_p)
+            piv = jnp.sum(pivcol * rmask, axis=1)  # (B,)
+            good = jnp.abs(piv) > 1e-5
+            act = okw & good
+            actf = act.astype(jnp.float32)[:, None]
+            safe_piv = jnp.where(jnp.abs(piv) > 1e-5, piv, 1.0)
+            rowv = jnp.sum(T[...] * rmask[:, :, None], axis=1)  # (B, nc_p)
+            rowdiv = rowv / safe_piv[:, None]
+            colv_mod = jnp.where(rmask > 0, piv[:, None] - 1.0, pivcol)
+            T_new = T[...] - colv_mod[:, :, None] * rowdiv[:, None, :]
+            T[...] = jnp.where(eb3_(act), T_new, T[...])
+            xB[...] = jnp.minimum(assigned + rmask * actf, 1.0)
+            atup[...] = jnp.maximum(
+                rem_cols - cmask * actf, 0.0
+            ).astype(jnp.int32)
+            basis_ref[...] = jnp.where(
+                (rmask > 0) & eb_(act), cb[:, None], basis_ref[...]
+            )
+            new_ok = (okw & good).astype(jnp.int32)
+            stall[...] = jnp.broadcast_to(new_ok[:, None], (B, 128))
+            return 0
+
+        jax.lax.fori_loop(0, m_p, gj_step, 0)
+        warm_ok = stall[:, 0] > 0
+        use_warm = warm0 & warm_ok
+        # singular warm bases: reset to the cold tableau
+        T[...] = jnp.where(eb3_(warm0 & ~warm_ok), -Wb, T[...])
+
+        basis_eff = jnp.where(eb_(use_warm), basis_ref[...], basis_cold).astype(
+            jnp.int32
+        )
+        basis_ref[...] = basis_eff
         cid2 = jax.lax.broadcasted_iota(jnp.int32, (m_p, nc_p), 1)
         rid2 = jax.lax.broadcasted_iota(jnp.int32, (m_p, nc_p), 0)
-        onehot_rows = (cid2 == n + rid2).astype(jnp.float32)[None]  # (1, m_p, nc_p)
-        # use +-inf aware contraction: replace inf with BIG sentinel first
+        onehot_b = (cid2[None] == basis_eff[:, :, None]).astype(jnp.float32)
+        inb_eff = jnp.sum(onehot_b, axis=1) > 0.5  # (B, nc_p)
+        inb[...] = inb_eff.astype(jnp.int32)
+        atup_warm = ((wa_ref[...] > 0) & ~inb_eff).astype(jnp.int32)
+        atup_cold = (at0 & ~inb_eff).astype(jnp.int32)
+        atup[...] = jnp.where(eb_(use_warm), atup_warm, atup_cold)
+
+        # basic bounds/costs gathered at the effective basis columns
         def pick(v):
             vs = jnp.where(jnp.isposinf(v), BIG, jnp.where(jnp.isneginf(v), -BIG, v))
-            out = jnp.sum(onehot_rows * vs[:, None, :], axis=2)
+            out = jnp.sum(onehot_b * vs[:, None, :], axis=2)
             return jnp.where(out >= BIG, jnp.inf, jnp.where(out <= -BIG, -jnp.inf, out))
 
-        bl[...] = pick(lo_log)
-        bh[...] = pick(hi_log)
-        cB[...] = jnp.zeros((B, m_p), jnp.float32)
+        bl[...] = pick(lo)
+        bh[...] = pick(hi)
+        cB[...] = jnp.sum(onehot_b * c[:, None, :], axis=2)
+        # nonbasic values and basic solution (valid for warm and cold alike)
+        atm0 = atup[...] > 0
+        zv0 = jnp.where(
+            atm0 & finite_hi,
+            hi,
+            jnp.where(finite_lo, lo, jnp.where(finite_hi, hi, 0.0)),
+        )
+        zv0 = jnp.where(inb_eff | (col_ids >= n + m), 0.0, zv0)
+        xB[...] = -jnp.sum(T[...] * zv0[:, None, :], axis=2)
         stall[...] = jnp.zeros((B, 128), jnp.int32)
         empty = jnp.any((lo > hi + feas_tol) & (col_valid > 0), axis=1)  # (B,)
         status0 = jnp.where(empty, INFEASIBLE, RUNNING).astype(jnp.int32)
@@ -402,6 +485,8 @@ def make_pallas_lp_batch(
             pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, m_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((CHUNK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -433,7 +518,7 @@ def make_pallas_lp_batch(
     )
 
     @jax.jit
-    def _solve_batch_w(Wp_arg, c, lo, hi):
+    def _solve_batch_w(Wp_arg, c, lo, hi, wb, wa):
         # W is a runtime argument (not a traced constant) so the persistent
         # compilation cache is keyed on SHAPES only — every instance of the
         # same (m, n) shape reuses one compile.
@@ -441,7 +526,20 @@ def make_pallas_lp_batch(
         cp = jnp.concatenate([c, zpad], axis=1)
         lop = jnp.concatenate([lo, zpad], axis=1)
         hip = jnp.concatenate([hi, zpad], axis=1)
-        status, obj, z, basis, atup, iters = pallas_fn(Wp_arg, cp, lop, hip)
+        # warm-basis pad: rows >= m hold the padded logicals n+i (identity
+        # in the padded block, so the GJ rebuild stays nonsingular); a cold
+        # lane is all -1
+        cold = wb[:, :1] < 0
+        rows_pad = n + jnp.arange(m, m_p, dtype=jnp.int32)[None, :]
+        wb_pad = jnp.where(
+            cold, -1, jnp.broadcast_to(rows_pad, (NB, m_p - m))
+        ) if m_p > m else jnp.zeros((NB, 0), jnp.int32)
+        wbp = jnp.concatenate([wb, wb_pad], axis=1).astype(jnp.int32)
+        zpad_i = jnp.zeros((NB, nc_p - (n + m)), jnp.int32)
+        wap = jnp.concatenate([wa.astype(jnp.int32), zpad_i], axis=1)
+        status, obj, z, basis, atup, iters = pallas_fn(
+            Wp_arg, cp, lop, hip, wbp, wap
+        )
         return (
             status[:, 0],
             obj[:, 0],
@@ -451,8 +549,11 @@ def make_pallas_lp_batch(
             iters[:, 0],
         )
 
-    def solve_batch(c, lo, hi):
-        return _solve_batch_w(Wp_j, c, lo, hi)
+    def solve_batch(c, lo, hi, wb=None, wa=None):
+        if wb is None:
+            wb = jnp.full((NB, m), -1, jnp.int32)
+            wa = jnp.zeros((NB, n + m), jnp.int32)
+        return _solve_batch_w(Wp_j, c, lo, hi, wb, wa)
 
     meta = dict(m=m, nc=nc, n=n, m_p=m_p, nc_p=nc_p, chunk=CHUNK)
     return solve_batch, meta

@@ -71,7 +71,8 @@ class _StageTask:
         self.c_struct = c_struct
         self.obj_int = obj_int
         self.srhs = srhs
-        self.nodes: List = [(lb.copy(), ub.copy())]  # DFS stack of (lo, hi)
+        # DFS stack of (lo, hi, warm_basis, warm_at_upper)
+        self.nodes: List = [(lb.copy(), ub.copy(), None, None)]
         self.best = np.inf
         self.best_x: Optional[np.ndarray] = None
         self.node_count = 0
@@ -99,6 +100,7 @@ class WaveLexBackend:
         dtype: str = "float32",
         engine: str = "auto",
         mesh=None,
+        warm_start: bool = False,
     ):
         jax.config.update("jax_enable_x64", True)
         _enable_persistent_cache()
@@ -123,6 +125,15 @@ class WaveLexBackend:
             except Exception:
                 engine = "xla"
         self.engine = engine
+        # Warm-starting children from parent bases is implemented end-to-end
+        # (in-kernel Gauss-Jordan rebuild, see pallas_lp.py) but loses on
+        # mixed cold/warm waves: the batched while-loop runs to the slowest
+        # lane, so the saved iterations don't shorten the wave while the
+        # basis rebuild is paid by every wave.  Off by default until waves
+        # are scheduled homogeneously.
+        self.warm_start = warm_start
+        self._wave_basis = None
+        self._wave_atup = None
 
         p = problem
         self.k = p.objcnt
@@ -152,12 +163,12 @@ class WaveLexBackend:
                 pfn = shard_map(
                     pfn,
                     mesh=mesh,
-                    in_specs=(bspec, bspec, bspec),
+                    in_specs=(bspec, bspec, bspec, bspec, bspec),
                     out_specs=(P(axes), P(axes), bspec, bspec, bspec, P(axes)),
                     check_rep=False,
                 )
 
-            def _run(c, lo, hi):
+            def _run(c, lo, hi, wb, wa):
                 # the pallas kernel is pure f32/i32; tracing it under the
                 # global x64 mode trips a jax recursion bug, so scope it out.
                 # c/lo/hi arrive stacked as one upload; split on device.
@@ -165,8 +176,10 @@ class WaveLexBackend:
                     clh = jnp.asarray(
                         np.stack([c, lo, hi]), dtype=jnp.float32
                     )
+                    wbj = jnp.asarray(wb, dtype=jnp.int32)
+                    waj = jnp.asarray(wa[:, : self.n + self.m], dtype=jnp.int32)
                     status, obj, x, basis, atup, iters = pfn(
-                        clh[0], clh[1], clh[2]
+                        clh[0], clh[1], clh[2], wbj, waj
                     )
                 return sx.LPOutcome(
                     status=status, obj=obj, x=x, basis=basis,
@@ -224,7 +237,8 @@ class WaveLexBackend:
             inner = jax.jit(jax.vmap(lp))
         dt = self._dtype
 
-        def _run_xla(c, lo, hi):
+        def _run_xla(c, lo, hi, wb=None, wa=None):
+            # the XLA while-loop kernel has no warm-start path; wb/wa ignored
             clh = jnp.asarray(np.stack([c, lo, hi]), dtype=dt)
             return inner(clh[0], clh[1], clh[2])
 
@@ -347,7 +361,7 @@ class WaveLexBackend:
         """
         B = self.batch_width
         nc = self.n + self.m
-        wave: List = []  # (task, node_lo, node_hi)
+        wave: List = []  # (task, node_lo, node_hi, warm_basis, warm_atup)
         for task in active:
             take = min(self.nodes_per_task, len(task.nodes), B - len(wave))
             for _ in range(take):
@@ -361,18 +375,23 @@ class WaveLexBackend:
         c_buf = np.zeros((B, nc))
         lo_buf = np.zeros((B, nc))
         hi_buf = np.zeros((B, nc))
-        for i, (task, nlo, nhi) in enumerate(wave):
+        wb_buf = np.full((B, self.m), -1, dtype=np.int32)
+        wa_buf = np.zeros((B, nc), dtype=np.int32)
+        for i, (task, nlo, nhi, wb, wa) in enumerate(wave):
             c_buf[i] = task.cvec
             lo_buf[i, : self.n] = nlo
             lo_buf[i, self.n :] = task.llo
             hi_buf[i, : self.n] = nhi
             hi_buf[i, self.n :] = task.lhi
+            if wb is not None:
+                wb_buf[i] = wb
+                wa_buf[i] = wa
         if nb < B:
             # pad with a copy of lane 0 (cheap, discarded)
             c_buf[nb:] = c_buf[0]
             lo_buf[nb:] = lo_buf[0]
             hi_buf[nb:] = hi_buf[0]
-        out = self._lp_batch(c_buf, lo_buf, hi_buf)
+        out = self._lp_batch(c_buf, lo_buf, hi_buf, wb_buf, wa_buf)
         return wave, nb, c_buf, lo_buf, hi_buf, out
 
     def _complete_wave(self, submitted, state) -> None:
@@ -389,6 +408,8 @@ class WaveLexBackend:
         status = np.asarray(status)
         objv = np.asarray(objv, dtype=np.float64)
         xs = np.asarray(xs, dtype=np.float64)
+        self._wave_basis = np.asarray(basis_h)
+        self._wave_atup = np.asarray(atup_h)
         self.device_waves += 1
         self.lp_count += nb
 
@@ -421,7 +442,7 @@ class WaveLexBackend:
                 frmaxs = np.zeros(nb)
                 jlocs = np.zeros(nb, dtype=np.int64)
                 fls = np.zeros(nb)
-            for i, (task, nlo, nhi) in enumerate(wave):
+            for i, (task, nlo, nhi, _wb, _wa) in enumerate(wave):
                 task.node_count += 1
                 task.inflight -= 1
                 if task.failed:
@@ -511,13 +532,17 @@ class WaveLexBackend:
                 up_lo[jloc] = fl + 1
                 dn_hi = child_hi.copy()
                 dn_hi[jloc] = fl
+                # children warm-start from this node's optimal basis
+                use_w = self.warm_start and self._wave_basis is not None
+                cb = self._wave_basis[i] if use_w else None
+                ca = self._wave_atup[i] if use_w else None
                 # DFS toward the LP value: nearer child on top
                 if xs[i][jloc] - fl > 0.5:
-                    task.nodes.append((child_lo, dn_hi))
-                    task.nodes.append((up_lo, child_hi))
+                    task.nodes.append((child_lo, dn_hi, cb, ca))
+                    task.nodes.append((up_lo, child_hi, cb, ca))
                 else:
-                    task.nodes.append((up_lo, child_hi))
-                    task.nodes.append((child_lo, dn_hi))
+                    task.nodes.append((up_lo, child_hi, cb, ca))
+                    task.nodes.append((child_lo, dn_hi, cb, ca))
 
     def _advance_pool(self, pool: List[_StageTask], state) -> List[_StageTask]:
         """Finish tasks whose stacks drained; start their next stages."""
