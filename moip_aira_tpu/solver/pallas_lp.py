@@ -167,6 +167,8 @@ def make_pallas_lp_batch(
             warm0.astype(jnp.int32)[:, None], (B, 128)
         )
 
+        any_warm = jnp.any(warm0)
+
         def gj_step(i, _):
             okw = stall[:, 0] > 0  # warm lanes still reconstructing
             assigned = xB[...]
@@ -204,8 +206,12 @@ def make_pallas_lp_batch(
             stall[...] = jnp.broadcast_to(new_ok[:, None], (B, 128))
             return 0
 
-        jax.lax.fori_loop(0, m_p, gj_step, 0)
-        warm_ok = stall[:, 0] > 0
+        # skip the whole rebuild when the wave has no warm lanes
+        @pl.when(any_warm)
+        def _():
+            jax.lax.fori_loop(0, m_p, gj_step, 0)
+
+        warm_ok = warm0 & (stall[:, 0] > 0)
         use_warm = warm0 & warm_ok
         # singular warm bases: reset to the cold tableau
         T[...] = jnp.where(eb3_(warm0 & ~warm_ok), -Wb, T[...])

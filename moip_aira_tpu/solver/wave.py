@@ -362,14 +362,52 @@ class WaveLexBackend:
         B = self.batch_width
         nc = self.n + self.m
         wave: List = []  # (task, node_lo, node_hi, warm_basis, warm_atup)
+        if self.warm_start:
+            # homogeneous waves: a batched while-loop runs to its slowest
+            # lane, so mixing freshly-rooted (cold) MIPs with warm-started
+            # children wastes the warm lanes' savings. Gather only one kind
+            # per wave, preferring the more numerous kind.
+            warm_n = cold_n = 0
+            for t_ in active:
+                if t_.nodes:
+                    if t_.nodes[-1][2] is None:
+                        cold_n += len(t_.nodes)
+                    else:
+                        warm_n += len(t_.nodes)
+            want_warm = warm_n >= cold_n
+
+            def want(node):
+                return (node[2] is not None) == want_warm
+
+        else:
+
+            def want(node):
+                return True
+
         for task in active:
-            take = min(self.nodes_per_task, len(task.nodes), B - len(wave))
-            for _ in range(take):
+            take = 0
+            while (
+                take < self.nodes_per_task
+                and task.nodes
+                and len(wave) < B
+                and want(task.nodes[-1])
+            ):
                 wave.append((task, *task.nodes.pop()))
+                take += 1
             task.inflight += take
             if len(wave) >= B:
                 break
         nb = len(wave)
+        if nb == 0 and self.warm_start:
+            # nothing of the preferred kind at the stack tops — take anything
+            for task in active:
+                take = min(self.nodes_per_task, len(task.nodes), B - len(wave))
+                for _ in range(take):
+                    wave.append((task, *task.nodes.pop()))
+                task.inflight += take
+                if len(wave) >= B:
+                    break
+            nb = len(wave)
         if nb == 0:
             return None
         c_buf = np.zeros((B, nc))
