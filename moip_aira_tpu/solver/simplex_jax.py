@@ -9,10 +9,15 @@ kernels.  All shapes are static; everything vmaps over a batch of
 (c, lo, hi) triples, which is how hundreds of independent branch-and-bound
 nodes / AIRA subproblems share one TPU chip.
 
-Float64 is used end-to-end: the target problems carry small integer data, and
-exact front parity (BASELINE.md §A) is the contract.  On TPU f64 is emulated,
-but these tableaus are tiny (tens of KB) — iteration latency, not FLOPs,
-dominates, and batching amortises it.
+Dtype follows the system matrix W: float64 for the exact CPU path, float32
+for accelerator runs (f64 emulation on TPU inflates XLA compile times ~20x).
+Exact front parity (BASELINE.md §A) is preserved for the f32 path by the f64
+basis certificates in solver/verify.py.  NOTE: on the TPU backend this XLA
+kernel miscomputes at batch sizes above ~64 (a gather/scatter lowering
+defect observed on v5e — wrong objectives under Bland's rule); the Pallas
+kernel (pallas_lp.py), which replaces every gather/scatter with one-hot
+arithmetic, is the TPU production path.  This kernel remains the CPU path
+and the oracle twin of simplex_np.
 """
 
 from __future__ import annotations

@@ -1,20 +1,24 @@
 """Wave backend: host-orchestrated branch-and-bound over batched device LPs.
 
-The monolithic kernel (lex_jax.py) runs the whole lexicographic B&B on
-device, which is ideal for CPU/XLA but compiles very slowly on the TPU
-toolchain (nested while loops).  This backend keeps the *LP relaxation* as
-the device kernel — one jitted ``vmap`` of the bounded-variable simplex, the
-34s-once compile — and drives the branch-and-bound tree search from the
-host:
+The production TPU path.  The LP relaxation is the device kernel — the
+Pallas batched simplex (pallas_lp.py) on accelerators, the XLA while-loop
+twin (simplex_jax.py) on CPU — and the branch-and-bound tree search runs on
+the host:
 
   wave loop:  gather up to ``batch_width`` open nodes across every active
-              (worker, lex-stage) task  →  one device call solves all their
-              LP relaxations  →  prune / bound / branch on host  →  repeat.
+              (worker, lex-stage) task  →  one async device call solves all
+              their LP relaxations (float32)  →  certify every result
+              exactly in float64 from the returned bases (solver/verify.py)
+              →  prune / bound / branch on host  →  repeat,
+              with up to two waves in flight so host work hides device time.
 
 Because nodes from *all* AIRA workers, all EPP strips and all lexicographic
 stages share one batch, the device stays full even though each individual
 B&B tree is sequential — the same trick the scheduler plays one level up.
-The node bookkeeping is pure numpy (a C++ twin lives in native/ when built).
+MIP machinery on the host side: previous-stage warm incumbents, rounding +
+1-swap local search (solver/heuristics.py), reduced-cost fixing from the
+exact certificate duals, and optional parent-basis warm starts for the
+device LPs.
 
 This mirrors how the reference extracts parallelism from CPLEX threads
 (aira.cpp:236-239 `-c`): intra-solve parallelism, but as SIMD lanes instead
