@@ -426,14 +426,24 @@ def make_pallas_lp_batch(
             )
             basis_ref[...] = basis_new
             # per-row bound/cost refresh for the pivot row
+            # entering variable's own bounds become the pivot row's bounds.
+            # lo_q/hi_q use 0-sentinels for +-inf (fine for zq/flip_theta,
+            # both guarded by finiteness flags) — here infinities must
+            # SURVIVE, so regather with +-BIG sentinels and restore them.
+            lo_q_b = jnp.sum(
+                jnp.where(qmask, jnp.where(finite_lo, lo, -BIG), 0.0), axis=1
+            )
+            hi_q_b = jnp.sum(
+                jnp.where(qmask, jnp.where(finite_hi, hi, BIG), 0.0), axis=1
+            )
             bl[...] = jnp.where(
                 rmask & eb(do_pivot),
-                jnp.where(jnp.isfinite(lo_q), lo_q, -jnp.inf)[:, None],
+                jnp.where(lo_q_b <= -BIG / 2, -jnp.inf, lo_q_b)[:, None],
                 bll,
             )
             bh[...] = jnp.where(
                 rmask & eb(do_pivot),
-                jnp.where(jnp.isfinite(hi_q), hi_q, jnp.inf)[:, None],
+                jnp.where(hi_q_b >= BIG / 2, jnp.inf, hi_q_b)[:, None],
                 bhh,
             )
             cq = jnp.sum(jnp.where(qmask, c, 0.0), axis=1)

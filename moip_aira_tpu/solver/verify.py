@@ -110,10 +110,16 @@ class LPVerifier:
         at_lo_nb = ~in_basis & ~at_upper[idx] & finite_lo
         at_hi_nb = ~in_basis & (at_upper[idx] | (~finite_lo & finite_hi))
         free_nb = ~in_basis & ~finite_lo & ~finite_hi
+        # soundness: a nonbasic column flagged "at upper" with an INFINITE
+        # upper bound is an invalid solver state — rejecting it is what kept
+        # the inf-bound pivot-row bug (pallas_lp history) from silently
+        # certifying wrong optima
+        bogus_state = (~in_basis) & at_upper[idx] & ~finite_hi
         opt_ok = (
             np.where(at_lo_nb, d >= -CERT_TOL, True).all(axis=1)
-            & np.where(at_hi_nb, d <= CERT_TOL, True).all(axis=1)
+            & np.where(at_hi_nb & finite_hi, d <= CERT_TOL, True).all(axis=1)
             & np.where(free_nb, np.abs(d) <= CERT_TOL, True).all(axis=1)
+            & ~bogus_state.any(axis=1)
             & feas
             & solvable_T
         )

@@ -102,3 +102,53 @@ def test_jax_simplex_matches_numpy(seed):
         assert float(out.obj) == pytest.approx(mine.obj, abs=1e-6)
     elif mine.status == SolveStatus.INFEASIBLE:
         assert int(out.status) == sx.INFEASIBLE
+
+
+def test_pallas_interpret_infinite_upper_bounds():
+    """Regression: a variable with an infinite upper bound entering the
+    basis must keep that bound infinite in the pivot row (the 0-sentinel
+    used for zq/flip_theta once leaked into the row bounds and drove the
+    solve back to the origin — MOP-family instances)."""
+    import jax.numpy as jnp
+
+    from moip_aira_tpu.io import read_problem
+    from moip_aira_tpu.solver.pallas_lp import make_pallas_lp_batch
+
+    from conftest import EXAMPLES
+
+    p = read_problem(f"{EXAMPLES}/moip_2_30_1_knapsack.mop")
+    A_full = np.vstack([p.A, p.C])
+    m = A_full.shape[0]
+    W = np.hstack([A_full, -np.eye(m)])
+    B = 8
+    fn, _ = make_pallas_lp_batch(W.astype(np.float32), B, interpret=True)
+    lo = np.concatenate([p.lb, p.row_lb, [-np.inf] * p.objcnt])
+    hi = np.concatenate([p.ub, p.row_ub, [np.inf] * p.objcnt])
+    c = np.concatenate([p.C[0], np.zeros(m)])
+
+    def tile(a):
+        return jnp.asarray(np.tile(a, (B, 1)), dtype=jnp.float32)
+
+    st, obj, x, basis, atup, iters = fn(tile(c), tile(lo), tile(hi))
+    assert int(st[0]) == 0
+    assert float(obj[0]) == pytest.approx(-1885.714, abs=0.01)
+
+
+def test_certificate_rejects_at_upper_with_infinite_bound():
+    """Soundness: at_upper on an infinite-bound nonbasic column must fail
+    certification even when the reduced-cost signs happen to line up."""
+    from moip_aira_tpu.solver import simplex_jax as sx
+    from moip_aira_tpu.solver.verify import LPVerifier
+
+    A = np.array([[1.0, 1.0]])
+    W = np.hstack([A, -np.eye(1)])
+    v = LPVerifier(W)
+    B = 1
+    c = np.array([[-1.0, -2.0, 0.0]])
+    lo = np.array([[0.0, 0.0, -np.inf]])
+    hi = np.array([[np.inf, np.inf, 10.0]])
+    status = np.array([sx.OPTIMAL], dtype=np.int32)
+    basis = np.array([[2]], dtype=np.int32)  # logical basic
+    at_upper = np.array([[True, True, False]])  # bogus: hi = inf
+    cert = v.certify(c, lo, hi, status, basis, at_upper)
+    assert not cert.ok[0]
