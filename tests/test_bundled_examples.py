@@ -17,6 +17,7 @@ from moip_aira_tpu.io import read_problem
 EX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
 
 CASES = [f for f in ["2AP05", "3AP05", "3KP10"] if os.path.exists(f"{EX}/{f}.out")]
+SLOW_CASES = [f for f in ["2KP50"] if os.path.exists(f"{EX}/{f}.out")]
 
 
 def bundled_front(name):
@@ -74,3 +75,22 @@ def test_generator_roundtrip(tmp_path):
     assert (q.ub == 3).all()
     front2 = solve_front(q, backend="numpy")
     assert front2.solution_count >= 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SLOW_CASES)
+def test_bundled_golden_slow(name):
+    p = read_problem(f"{EX}/{name}.lp")
+    front = solve_front(p, n_workers=2, backend="numpy")
+    expect = bundled_front(name)
+    assert front.points.shape == expect.shape
+    assert (front.points == expect).all()
+
+
+@pytest.mark.slow
+def test_bundled_mop_golden():
+    p = read_problem(f"{EX}/moip_2_30_knapsack.mop")
+    front = solve_front(p, n_workers=2, backend="numpy")
+    expect = bundled_front("moip_2_30_knapsack")
+    assert front.points.shape == expect.shape
+    assert (front.points == expect).all()
