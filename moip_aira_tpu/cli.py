@@ -14,6 +14,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 from moip_aira_tpu import __version__
 from moip_aira_tpu.api import solve_front
 from moip_aira_tpu.io import read_problem
@@ -53,6 +55,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--mesh", dest="mesh", type=int, default=None,
                     help="Shard solve batches over an N-device mesh "
                          "(wave backend).")
+    ap.add_argument("--stats", action="store_true", default=False,
+                    help="Print scheduler/backend statistics to stderr.")
     ap.add_argument("--version", action="version",
                     version=f"moip-aira-tpu {__version__}")
     return ap
@@ -80,6 +84,15 @@ def main(argv=None) -> int:
 
     with open(out_path, "w") as fh:
         write_out(fh, front, version_tag=__version__)
+    if args.stats:
+        import sys as _sys
+
+        bs = front.batch_sizes or []
+        _sys.stderr.write(
+            f"[stats] rounds={front.rounds} ip_solves={front.ip_count} "
+            f"mean_batch={np.mean(bs):.1f} max_batch={max(bs) if bs else 0} "
+            f"cpu={front.cpu_seconds:.3f}s wall={front.elapsed_seconds:.3f}s\n"
+        )
     return 0
 
 
