@@ -33,7 +33,6 @@ BASELINE_IPS_PER_SEC = 24 / 0.031  # reference 2AP05 footer
 def main() -> int:
     import numpy as np
 
-    from moip_aira_tpu.api import solve_front
     from moip_aira_tpu.io import read_problem
     from moip_aira_tpu.solver.lex import LexRequest
     from moip_aira_tpu.solver.wave import WaveLexBackend
@@ -72,6 +71,8 @@ def main() -> int:
     dt = time.time() - t0
     ips = sum(o.ip_solves for o in outs)
     ips_per_sec = ips / dt
+    lp_count = int(be.lp_count)
+    waves = int(be.device_waves)
 
     # --- parity guard: the full enumeration must reproduce the golden front
     # (read the expected front from the .out file next to the instance)
@@ -81,8 +82,18 @@ def main() -> int:
             parts = line.split()
             if parts and all(t.lstrip("-").isdigit() for t in parts):
                 expected += 1
-    front = solve_front(p, n_workers=2, backend="wave")
-    parity = front.solution_count == expected
+    # reuse the already-compiled backend (a second kernel build would roll
+    # the compile-service dice again)
+    from moip_aira_tpu.core.store import Solutions
+    from moip_aira_tpu.engine.scheduler import Scheduler
+    from moip_aira_tpu.parallel.cluster import build_cluster
+
+    sched = Scheduler(p, be)
+    all_s = Solutions(p.objcnt)
+    sched.run(
+        build_cluster(2, p.objcnt, p.objsen, True), all_s, Solutions(p.objcnt)
+    )
+    parity = all_s.sorted_unique_points().shape[0] == expected
 
     print(
         json.dumps(
@@ -95,8 +106,8 @@ def main() -> int:
                     "workload": "2AP05 subproblem grid x both orderings",
                     "requests": len(reqs),
                     "stage_ips": int(ips),
-                    "lp_relaxations": int(be.lp_count),
-                    "device_waves": int(be.device_waves),
+                    "lp_relaxations": lp_count,
+                    "device_waves": waves,
                     "verify_fallbacks": int(be.verify_fallbacks),
                     "seconds": round(dt, 3),
                     "warmup_compile_seconds": round(warm_s, 1),

@@ -71,16 +71,21 @@ def main(argv=None) -> int:
         base, _ = os.path.splitext(args.problem)
         out_path = base + ".out"
 
-    front = solve_front(
-        problem,
-        n_workers=args.threads,
-        spread=(args.spread != "0"),
-        split=args.split,
-        split_normal=args.split_normal,
-        backend=args.backend,
-        mesh_devices=args.mesh,
-        solver_threads=args.solver_threads,
-    )
+    try:
+        front = solve_front(
+            problem,
+            n_workers=args.threads,
+            spread=(args.spread != "0"),
+            split=args.split,
+            split_normal=args.split_normal,
+            backend=args.backend,
+            mesh_devices=args.mesh,
+            solver_threads=args.solver_threads,
+        )
+    except ValueError as e:
+        # e.g. split_normal worker cap (reference aira.cpp:199-204)
+        sys.stderr.write(f"Error: {e}\n")
+        return 1
 
     with open(out_path, "w") as fh:
         write_out(fh, front, version_tag=__version__)
