@@ -94,3 +94,20 @@ def test_bundled_mop_golden():
     expect = bundled_front("moip_2_30_knapsack")
     assert front.points.shape == expect.shape
     assert (front.points == expect).all()
+
+
+@pytest.mark.slow
+def test_generated_2ap08_modes_agree(tmp_path):
+    """Scale smoke: a generated 8x8 assignment instance (64 binaries) gives
+    identical fronts across synergistic, EPP and the wave backend."""
+    from moip_aira_tpu.utils.generate import ap_lp
+
+    f = tmp_path / "2AP08.lp"
+    f.write_text(ap_lp(8, 2, seed=21))
+    p = read_problem(str(f))
+    a = solve_front(p, n_workers=2, backend="numpy")
+    b = solve_front(p, n_workers=2, split=True, backend="numpy")
+    c = solve_front(p, n_workers=2, backend="wave")
+    assert a.solution_count == 15
+    assert (a.points == b.points).all()
+    assert (a.points == c.points).all()
