@@ -45,6 +45,12 @@ def candidate_value(
     return float(c @ x)
 
 
+#: above this many integer variables the full (m, ni, ni) swap tensor is
+#: replaced by a candidate subset — keeps the heuristic O(m·K²) at scale
+SWAP_FULL_LIMIT = 300
+SWAP_CAND = 128
+
+
 def local_search(
     Wx: np.ndarray,
     c: np.ndarray,
@@ -56,7 +62,12 @@ def local_search(
 ) -> Tuple[np.ndarray, float]:
     """Improve a feasible integer point by best-improving unit moves/swaps.
 
-    Returns (x, value); x0 must already be feasible.
+    Returns (x, value); x0 must already be feasible.  Beyond
+    ``SWAP_FULL_LIMIT`` integer variables, the all-pairs swap scan is
+    restricted to the ``SWAP_CAND`` cheapest-to-raise and costliest-to-lower
+    columns (an improving swap needs c[j] < c[l]) so a single round stays
+    ~O(m·K²) instead of O(m·n²) — at 2AP40 scale (n=1600) the full tensor
+    is 1.7 GB/round and was the dominant cost of the whole solve.
     """
     n = Wx.shape[1]
     m = Wx.shape[0]
@@ -89,15 +100,26 @@ def local_search(
         gain_dn = np.where(ok_dn, -ci, np.inf)
 
         # pair swaps x_j += 1, x_l -= 1: act + Wi[:,j] - Wi[:,l]
-        # (m, ni, ni) broadcast — fine for ni up to a few hundred
-        act_sw = act_up[:, :, None] - Wi[:, None, :]
-        ok_sw = (
-            (act_sw >= row_lo[:, None, None] - TOL)
-            & (act_sw <= row_hi[:, None, None] + TOL)
-        ).all(axis=0)
-        ok_sw &= can_up[:, None] & can_dn[None, :]
-        np.fill_diagonal(ok_sw, False)
-        gain_sw = np.where(ok_sw, ci[:, None] - ci[None, :], np.inf)
+        if ni <= SWAP_FULL_LIMIT:
+            js = ls = np.arange(ni)
+        else:
+            # improving swap needs ci[j] < ci[l]: scan the K cheapest
+            # raisable j's against the K costliest lowerable l's
+            ju = np.flatnonzero(can_up)
+            ld = np.flatnonzero(can_dn)
+            js = ju[np.argsort(ci[ju])[:SWAP_CAND]] if ju.size else ju
+            ls = ld[np.argsort(-ci[ld])[:SWAP_CAND]] if ld.size else ld
+        if js.size and ls.size:
+            act_sw = act_up[:, js, None] - Wi[:, None, ls]
+            ok_sw = (
+                (act_sw >= row_lo[:, None, None] - TOL)
+                & (act_sw <= row_hi[:, None, None] + TOL)
+            ).all(axis=0)
+            ok_sw &= can_up[js, None] & can_dn[None, ls]
+            ok_sw &= js[:, None] != ls[None, :]
+            gain_sw = np.where(ok_sw, ci[js, None] - ci[None, ls], np.inf)
+        else:
+            gain_sw = np.full((1, 1), np.inf)
 
         best_up = gain_up.min()
         best_dn = gain_dn.min()
@@ -114,7 +136,8 @@ def local_search(
             x[int_idx[j]] -= 1
             act -= Wi[:, j]
         else:
-            j, l = np.unravel_index(int(np.argmin(gain_sw)), gain_sw.shape)
+            jj, ll = np.unravel_index(int(np.argmin(gain_sw)), gain_sw.shape)
+            j, l = int(js[jj]), int(ls[ll])
             x[int_idx[j]] += 1
             x[int_idx[l]] -= 1
             act += Wi[:, j] - Wi[:, l]
