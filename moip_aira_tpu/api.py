@@ -4,6 +4,7 @@ reference's ``main`` (src/aira.cpp:140-364) minus file I/O."""
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import List, Optional
 
@@ -99,16 +100,45 @@ def solve_front(
     backend: str = "auto",
     mesh_devices=None,
     solver_threads: int = 1,
+    dp: str = "auto",
 ) -> FrontResult:
     """Compute the exact nondominated set of ``problem``.
 
     Mirrors the reference driver: the synergistic cluster decomposition by
     default (aira.cpp:277-308), or the EPP range split with ``split=True``
     (aira.cpp:269-276).
+
+    ``dp``: 'auto' routes single-capacity bi-objective knapsack instances
+    to the full-front dynamic program (solver/kp_front.py) — the whole
+    nondominated set in one dense device DP, no MIP ladder; 'off' forces
+    the general AIRA engine; 'on' forces the DP attempt even when the
+    ``MOIP_DP`` environment override (used by the test suite to pin the
+    AIRA path) says otherwise.  The front is identical either way (the DP
+    is exact); the decomposition flags only affect how the AIRA engine
+    would have parallelised, so they are validated but otherwise moot.
     """
     t_cpu0 = time.process_time()
     t_wall0 = time.monotonic()
     n_workers = max(1, n_workers)
+
+    if split and split_normal and n_workers > MAX_WORKERS_NORMAL_SPLIT:
+        raise ValueError(
+            f"split_normal supports at most {MAX_WORKERS_NORMAL_SPLIT} workers"
+        )
+
+    if dp == "auto":
+        dp = os.environ.get("MOIP_DP", "auto")
+    if dp != "off":
+        from moip_aira_tpu.solver.kp_front import kp2_front
+
+        pts = kp2_front(problem, engine="auto")
+        if pts is not None:
+            return FrontResult(
+                points=pts,
+                ip_count=0,
+                cpu_seconds=time.process_time() - t_cpu0,
+                elapsed_seconds=time.monotonic() - t_wall0,
+            )
 
     be = make_backend(
         problem, backend, mesh_devices=mesh_devices,
@@ -120,10 +150,6 @@ def solve_front(
     infeasibles = make_solutions(k)
 
     if split:
-        if split_normal and n_workers > MAX_WORKERS_NORMAL_SPLIT:
-            raise ValueError(
-                f"split_normal supports at most {MAX_WORKERS_NORMAL_SPLIT} workers"
-            )
         pts = split_setup(sched, k, n_workers, split_normal, infeasibles)
         # seed ip such that it can never answer a relaxation query
         # (reference main inserts these with an uninitialised ip vector,

@@ -55,6 +55,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--mesh", dest="mesh", type=int, default=None,
                     help="Shard solve batches over an N-device mesh "
                          "(wave backend).")
+    ap.add_argument("--dp", choices=("auto", "off"), default="auto",
+                    help="Structure-aware full-front dynamic program for "
+                         "single-capacity bi-objective knapsacks (default "
+                         "auto; off forces the general AIRA engine).")
     ap.add_argument("--stats", action="store_true", default=False,
                     help="Print scheduler/backend statistics to stderr.")
     ap.add_argument("--version", action="version",
@@ -81,6 +85,7 @@ def main(argv=None) -> int:
             backend=args.backend,
             mesh_devices=args.mesh,
             solver_threads=args.solver_threads,
+            dp=args.dp,
         )
     except ValueError as e:
         # e.g. split_normal worker cap (reference aira.cpp:199-204)
@@ -95,7 +100,8 @@ def main(argv=None) -> int:
         bs = front.batch_sizes or []
         _sys.stderr.write(
             f"[stats] rounds={front.rounds} ip_solves={front.ip_count} "
-            f"mean_batch={np.mean(bs):.1f} max_batch={max(bs) if bs else 0} "
+            f"mean_batch={np.mean(bs) if bs else 0.0:.1f} "
+            f"max_batch={max(bs) if bs else 0} "
             f"cpu={front.cpu_seconds:.3f}s wall={front.elapsed_seconds:.3f}s\n"
         )
     return 0

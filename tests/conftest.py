@@ -23,6 +23,11 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest
 
+# pin the general AIRA engine: the knapsack-DP shortcut (solver/kp_front.py)
+# would otherwise absorb every KP-family golden test and silently drop the
+# engine coverage.  DP-path tests opt back in with solve_front(dp="on").
+os.environ.setdefault("MOIP_DP", "off")
+
 EXAMPLES = "/root/reference/Examples"
 
 
