@@ -33,6 +33,7 @@ instance — repeated benchmark sizes share one compile.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -256,10 +257,174 @@ def front_jax(kp: KP2) -> np.ndarray:
     return _extract_front(last[: S + 1], kp)
 
 
+#: compiled-runner cache: identical table/item geometry reuses one jit
+_PALLAS_CACHE: dict = {}
+
+
+def _pallas_runner(
+    C: int,
+    S: int,
+    wmax: int,
+    amax: int,
+    n_p: int,
+    interpret: bool,
+):
+    """Build (or fetch) the compiled DP runner for this geometry."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S_p = _round_up(S + 1, 128)
+    # block rows sized against Mosaic's 16 MB scoped-vmem ceiling: the two
+    # scratch buffers PLUS ~two roll intermediates (they live on the same
+    # VMEM stack) — budget ≈ 4 live copies of the padded block
+    R = max(8, (14 * 2**20) // (4 * 4 * (S_p + 128)) - 8)
+    R = max(8, min(512, (R // 8) * 8))
+    C_p = _round_up(C + 1, R)
+    key = (C_p, S_p, wmax, amax, n_p, R, C, S, interpret)
+    cached = _PALLAS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    nb = C_p // R
+    # table rows/cols: [sentinel pad | data | DMA overrun pad] — the aligned
+    # source window can read up to 8 rows / 128 cols past the data region
+    ROWS = wmax + C_p + 8
+    COLS = amax + S_p + 128
+
+    def kernel(items_ref, tbl_in, tbl_out, src, tgt, sem_s, sem_t):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        wi = items_ref[0, i]
+        b0 = items_ref[1, i]
+        a1 = items_ref[2, i]
+        r0 = pl.multiple_of(C_p - (j + 1) * R, 8)  # descending capacity blocks
+
+        @pl.when((wi > 0) | (a1 > 0) | (b0 > 0))
+        def _():
+            # source window aligned DOWN to the (8, 128) int32 tile; the
+            # residual (dr, dc) offset is applied in VMEM below
+            rb = wmax + r0 - wi
+            ca = amax - a1
+            dr = jax.lax.rem(rb, 8)
+            dc = jax.lax.rem(ca, 128)
+            d_src = pltpu.make_async_copy(
+                tbl_out.at[
+                    pl.ds(pl.multiple_of((rb // 8) * 8, 8), R + 8),
+                    pl.ds(pl.multiple_of((ca // 128) * 128, 128), S_p + 128),
+                ],
+                src,
+                sem_s,
+            )
+            d_tgt = pltpu.make_async_copy(
+                tbl_out.at[
+                    pl.ds(pl.multiple_of(wmax + r0, 8), R),
+                    pl.ds(amax, S_p),
+                ],
+                tgt,
+                sem_t,
+            )
+            d_src.start()
+            d_tgt.start()
+            d_src.wait()
+            d_tgt.wait()
+            # realign in VMEM: dynamic circular shifts (no wrap reaches the
+            # used [0:R, 0:S_p] window since dr < 8 <= pad, dc < 128 <= pad).
+            # pltpu.roll requires NON-NEGATIVE shifts, so shift left by the
+            # modular complement
+            sh_r = jax.lax.rem(jnp.int32(R + 8) - dr, jnp.int32(R + 8))
+            sh_c = jax.lax.rem(jnp.int32(S_p + 128) - dc, jnp.int32(S_p + 128))
+            rolled = pltpu.roll(src[...], shift=sh_r, axis=0)
+            rolled = pltpu.roll(rolled, shift=sh_c, axis=1)
+            shifted = rolled[:R, :S_p]
+            cand = jnp.where(shifted >= 0, shifted + b0, -1)
+            tgt[...] = jnp.maximum(tgt[...], cand)
+            d_out = pltpu.make_async_copy(
+                tgt,
+                tbl_out.at[
+                    pl.ds(pl.multiple_of(wmax + r0, 8), R),
+                    pl.ds(amax, S_p),
+                ],
+                sem_t,
+            )
+            d_out.start()
+            d_out.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_p, nb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((R + 8, S_p + 128), jnp.int32),
+            pltpu.VMEM((R, S_p), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ROWS, COLS), jnp.int32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(items_a):
+        tbl = jnp.full((ROWS, COLS), -1, dtype=jnp.int32)
+        tbl = tbl.at[wmax:, amax].set(0)
+        out = fn(items_a, tbl)
+        # the answer row: c = cap (any c >= cap is equivalent by monotonicity)
+        return out[wmax + C, amax : amax + S + 1]
+
+    _PALLAS_CACHE[key] = run
+    return run
+
+
+def front_pallas(kp: KP2, interpret: bool = False) -> np.ndarray:
+    """TPU production path: the DP as ONE Mosaic kernel.
+
+    Why not the ``lax.scan`` version on TPU: the axon compile service takes
+    10–600 s for XLA:TPU loop programs while Mosaic compiles in seconds
+    (see CLAUDE.md); and the scan's functional double-buffering doubles HBM
+    footprint where this kernel updates the table in place.
+
+    Layout: the table lives in HBM padded by (wmax8, amax128) sentinel
+    rows/columns on the top/left so the in-place write offsets are
+    tile-aligned; the shifted read ``g[c - w_i, s - a1_i]`` DMAs an
+    aligned-down window and realigns in VMEM (dynamic rolls).  Grid =
+    (items, row-blocks); row blocks walk capacity DESCENDING, so a block's
+    shifted source rows (strictly lower c) still hold the previous item's
+    values — the 0/1 knapsack in-place order — while sequential TPU grid
+    execution orders items.
+    """
+    import jax.numpy as jnp
+
+    S = int(kp.V[1].sum())
+    C = kp.cap
+    n = kp.w.shape[0]
+    if n == 0:
+        return _extract_front(np.where(np.arange(S + 1) == 0, 0, -1), kp)
+    wmax = _round_up(max(int(kp.w.max()), 1), 8)
+    amax = _round_up(max(int(kp.V[1].max()), 1), 128)
+    n_p = _round_up(n, 8)
+    items = np.zeros((3, n_p), dtype=np.int32)
+    items[0, :n] = kp.w
+    items[1, :n] = kp.V[0]
+    items[2, :n] = kp.V[1]
+
+    run = _pallas_runner(C, S, wmax, amax, n_p, interpret)
+    last = np.asarray(run(jnp.asarray(items)))
+    return _extract_front(last, kp)
+
+
 def kp2_front(problem: Problem, engine: str = "auto") -> Optional[np.ndarray]:
     """Detect + solve; returns sorted nondominated points or None.
 
-    ``engine``: 'auto' (jax, numpy fallback), 'jax', 'numpy'.
+    ``engine``: 'auto' (Mosaic kernel on TPU, XLA scan elsewhere, numpy
+    last resort), 'pallas', 'jax', 'numpy'.
     """
     kp = detect_kp2(problem)
     if kp is None:
@@ -268,7 +433,14 @@ def kp2_front(problem: Problem, engine: str = "auto") -> Optional[np.ndarray]:
         return front_np(kp)
     if engine == "jax":
         return front_jax(kp)
+    if engine == "pallas":
+        return front_pallas(kp)
     try:
+        import jax
+
+        # 'axon' is the tunnelled-TPU platform; GPUs get the XLA scan
+        if jax.devices()[0].platform in ("tpu", "axon"):
+            return front_pallas(kp)
         return front_jax(kp)
     except Exception:
         if kp.table_cells <= MAX_TABLE_CELLS_NP:

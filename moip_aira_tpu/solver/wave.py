@@ -120,11 +120,14 @@ class WaveLexBackend:
                 f"{mesh.size}-device mesh"
             )
         if engine == "auto":
-            # Pallas/Mosaic on real accelerators (fast compile, no cycling);
-            # the XLA while-loop kernel on CPU (pallas interpret is slow)
+            # the Mosaic kernel is TPU-specific (one-hot layouts, scratch
+            # sizing); every other platform — CPU, GPU — gets the XLA
+            # while-loop twin.  'axon' is the tunnelled-TPU platform name.
             try:
                 engine = (
-                    "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+                    "pallas"
+                    if jax.devices()[0].platform in ("tpu", "axon")
+                    else "xla"
                 )
             except Exception:
                 engine = "xla"

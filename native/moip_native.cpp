@@ -147,71 +147,4 @@ int64_t moip_store_sorted_unique(void* h, int64_t* out, int64_t max_rows) {
   return written;
 }
 
-// ---------------------------------------------------------------------------
-// Branch-and-bound node pool (wave backend bookkeeping)
-// ---------------------------------------------------------------------------
-// Holds per-task DFS stacks of (lo, hi) variable-bound vectors and performs
-// the branch step natively; the Python layer only moves batched arrays.
-
-struct NodePool {
-  int n = 0;  // structural variable count
-  std::vector<std::vector<double>> stack_lo;  // per node, size n
-  std::vector<std::vector<double>> stack_hi;
-  int64_t pops = 0;
-};
-
-void* moip_pool_create(int nvars) {
-  NodePool* p = new NodePool();
-  p->n = nvars;
-  return p;
-}
-
-void moip_pool_destroy(void* h) { delete static_cast<NodePool*>(h); }
-
-int64_t moip_pool_size(void* h) {
-  return static_cast<int64_t>(static_cast<NodePool*>(h)->stack_lo.size());
-}
-
-void moip_pool_push(void* h, const double* lo, const double* hi) {
-  NodePool* p = static_cast<NodePool*>(h);
-  p->stack_lo.emplace_back(lo, lo + p->n);
-  p->stack_hi.emplace_back(hi, hi + p->n);
-}
-
-// Pop up to `count` nodes into caller buffers; returns number popped.
-int64_t moip_pool_pop(void* h, int64_t count, double* lo_out, double* hi_out) {
-  NodePool* p = static_cast<NodePool*>(h);
-  int64_t got = 0;
-  while (got < count && !p->stack_lo.empty()) {
-    std::memcpy(lo_out + got * p->n, p->stack_lo.back().data(),
-                sizeof(double) * p->n);
-    std::memcpy(hi_out + got * p->n, p->stack_hi.back().data(),
-                sizeof(double) * p->n);
-    p->stack_lo.pop_back();
-    p->stack_hi.pop_back();
-    ++got;
-    ++p->pops;
-  }
-  return got;
-}
-
-void moip_pool_clear(void* h) {
-  NodePool* p = static_cast<NodePool*>(h);
-  p->stack_lo.clear();
-  p->stack_hi.clear();
-}
-
-// Branch on variable j at floor value fl: push the "up" child (lo[j]=fl+1)
-// then the "down" child (hi[j]=fl) so DFS explores down first.
-void moip_pool_branch(void* h, const double* lo, const double* hi, int j,
-                      double fl) {
-  NodePool* p = static_cast<NodePool*>(h);
-  p->stack_lo.emplace_back(lo, lo + p->n);
-  p->stack_hi.emplace_back(hi, hi + p->n);
-  p->stack_lo.back()[j] = fl + 1.0;  // up child (bottom of stack pair)
-  p->stack_lo.emplace_back(lo, lo + p->n);
-  p->stack_hi.emplace_back(hi, hi + p->n);
-  p->stack_hi.back()[j] = fl;  // down child (top)
-}
-
 }  // extern "C"
