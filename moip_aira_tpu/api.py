@@ -149,6 +149,29 @@ def solve_front(
     all_store = make_solutions(k)
     infeasibles = make_solutions(k)
 
+    if mesh_devices and not split:
+        # distributed enumeration: workers partitioned into per-device
+        # domains, cross-domain pruning through the mesh collective
+        # (engine/mesh_scheduler.py); the wave backend above additionally
+        # shards its LP waves over the same mesh
+        from moip_aira_tpu.engine.mesh_scheduler import MeshScheduler
+        from moip_aira_tpu.parallel.mesh import make_mesh
+
+        n_workers = min(n_workers, max_workers(k))
+        msched = MeshScheduler(
+            problem, be, getattr(be, "mesh", None) or make_mesh(mesh_devices)
+        )
+        msched.run(n_workers, spread, all_store)
+        points = all_store.sorted_unique_points()
+        return FrontResult(
+            points=points,
+            ip_count=msched.ip_count,
+            cpu_seconds=time.process_time() - t_cpu0,
+            elapsed_seconds=time.monotonic() - t_wall0,
+            rounds=msched.rounds,
+            batch_sizes=msched.batch_sizes,
+        )
+
     if split:
         pts = split_setup(sched, k, n_workers, split_normal, infeasibles)
         # seed ip such that it can never answer a relaxation query

@@ -1,0 +1,287 @@
+"""Distributed enumeration: AIRA workers partitioned over a device mesh.
+
+This is the multi-chip form of the whole enumeration (not just one solve
+round): the synergistic worker set is split into per-device *domains*, the
+shared-memory cells that would span domains are severed (each domain gets
+its own replica — sharing only ever prunes, so severing is always sound),
+and the cross-domain exchange happens exclusively through the mesh
+collective (`parallel/mesh.py:make_bound_exchange`) at round boundaries:
+
+  every round:  each domain's workers yield their CLMOIP subproblems
+                → one backend batch solves all domains' subproblems
+                  (the wave backend additionally shards its LP waves over
+                  the same mesh)
+                → the collective allgathers each domain's NEW infeasible
+                  boxes into every other domain's infeasibles store, and
+                  pmin/pmax-reduces solved objective values
+                → after round 1 the reduced values are the exact ideal
+                  point (every objective is led by some worker's first
+                  unconstrained solve), from which each domain inserts
+                  "beyond the ideal point" infeasibility cuts.
+
+Reference parity: one OS process per thread group with shared-memory cells
+(aira.cpp:923-1551) becomes domains + collectives; the shared ``infeasibles``
+list (the reference's only cross-worker store, aira.cpp:816-827) becomes the
+allgather payload.  Feasible lex results stay domain-private because they are
+permutation-dependent — exactly why the reference keeps per-thread private
+solution stores too.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from moip_aira_tpu.core.store import Solutions
+from moip_aira_tpu.engine.worker import aira_worker
+from moip_aira_tpu.engine.worker_spec import Cell, LockGroup, WorkerSpec
+from moip_aira_tpu.parallel.cluster import build_cluster
+from moip_aira_tpu.problem import Problem
+from moip_aira_tpu.sense import INF, Sense
+from moip_aira_tpu.solver.lex import LexRequest
+
+#: padding sentinel for the exchange value batch
+_BIGVAL = float(2**52)
+
+
+def partition_specs(
+    specs: Sequence[WorkerSpec], n_domains: int
+) -> List[List[WorkerSpec]]:
+    """Contiguous near-even split: with spreading, consecutive workers sit
+    in the same ordering subtree, so contiguous blocks minimise severed
+    cells (the reference's top-level cluster boundary becomes the device
+    boundary)."""
+    n = len(specs)
+    out: List[List[WorkerSpec]] = []
+    base, extra = divmod(n, n_domains)
+    i = 0
+    for d in range(n_domains):
+        take = base + (1 if d < extra else 0)
+        out.append(list(specs[i : i + take]))
+        i += take
+    return out
+
+
+def sever_cross_domain_cells(groups: List[List[WorkerSpec]]) -> int:
+    """Replace every Cell/LockGroup referenced from more than one domain
+    with per-domain replicas.  Returns the number of severed objects.
+
+    Severing is sound: shared cells only ever let a worker *skip* regions a
+    partner has completely enumerated; a severed (private) cell simply
+    prunes less.  Cross-domain pruning is reintroduced by the collective
+    exchange, which carries only permutation-independent facts.
+    """
+    owners: dict = {}
+    for d, group in enumerate(groups):
+        for spec in group:
+            for table in (
+                spec.share_to,
+                spec.share_from,
+                spec.share_bounds,
+                spec.share_limit,
+                spec.locks,
+            ):
+                for obj in table:
+                    if obj is not None:
+                        owners.setdefault(id(obj), (obj, set()))[1].add(d)
+    clones: dict = {}
+    severed = 0
+    for oid, (obj, doms) in owners.items():
+        if len(doms) <= 1:
+            continue
+        severed += 1
+        if isinstance(obj, Cell):
+            clones[oid] = {d: Cell(obj.value) for d in doms}
+        else:
+            clones[oid] = {d: LockGroup() for d in doms}
+    for d, group in enumerate(groups):
+        for spec in group:
+            for table in (
+                spec.share_to,
+                spec.share_from,
+                spec.share_bounds,
+                spec.share_limit,
+                spec.locks,
+            ):
+                for i, obj in enumerate(table):
+                    if obj is not None and id(obj) in clones:
+                        table[i] = clones[id(obj)][d]
+    return severed
+
+
+class MeshScheduler:
+    """Runs the full enumeration with workers distributed over a mesh."""
+
+    def __init__(
+        self,
+        problem: Problem,
+        backend,
+        mesh,
+        exchange: bool = True,
+        slots: int = 32,
+    ):
+        self.problem = problem
+        self.backend = backend
+        self.mesh = mesh
+        self.exchange = exchange
+        self.slots = slots
+        self.ip_count = 0
+        self.rounds = 0
+        self.batch_sizes: List[int] = []
+        self.exchanged_boxes = 0
+        self.severed = 0
+        self._ex_fn = None
+
+    # -- collective plumbing ------------------------------------------------
+    def _exchange_round(
+        self,
+        new_boxes: List[np.ndarray],
+        round_vals: List[np.ndarray],
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Run the compiled collective; returns (boxes, flags, lo/hi)."""
+        import jax.numpy as jnp
+
+        from moip_aira_tpu.parallel.mesh import make_bound_exchange, shard_batch
+
+        k = self.problem.objcnt
+        D = self.mesh.size
+        S = self.slots
+        if self._ex_fn is None:
+            self._ex_fn = make_bound_exchange(self.mesh, k, S)
+        boxes = np.zeros((D * S, k), dtype=np.float64)
+        flags = np.zeros((D * S,), dtype=np.int32)
+        vals = np.zeros((D * S, k), dtype=np.float64)
+        vflags = np.zeros((D * S,), dtype=np.int32)
+        for d in range(D):
+            nb = new_boxes[d][:S] if d < len(new_boxes) else np.zeros((0, k))
+            # replace ±inf with the collective's finite sentinel
+            boxes[d * S : d * S + len(nb)] = np.clip(nb, -_BIGVAL, _BIGVAL)
+            flags[d * S : d * S + len(nb)] = 1
+            rv = round_vals[d][:S] if d < len(round_vals) else np.zeros((0, k))
+            if len(rv):
+                vals[d * S : d * S + len(rv)] = rv
+                vflags[d * S : d * S + len(rv)] = 1
+        all_boxes, all_flags, lo, hi = self._ex_fn(
+            shard_batch(self.mesh, jnp.asarray(boxes)),
+            shard_batch(self.mesh, jnp.asarray(flags)),
+            shard_batch(self.mesh, jnp.asarray(vals)),
+            shard_batch(self.mesh, jnp.asarray(vflags)),
+        )
+        return (
+            np.asarray(all_boxes),
+            np.asarray(all_flags),
+            (np.asarray(lo)[0], np.asarray(hi)[0]),
+        )
+
+    # -- main entry ---------------------------------------------------------
+    def run(
+        self,
+        n_workers: int,
+        spread: bool,
+        all_store: Solutions,
+        infeasibles_unused: Optional[Solutions] = None,
+    ) -> Solutions:
+        """Distribute ``n_workers`` synergistic workers over the mesh and
+        enumerate to completion; fronts merge into ``all_store``."""
+        p = self.problem
+        k = p.objcnt
+        D = self.mesh.size
+        is_min = p.objsen is Sense.MIN
+
+        specs = build_cluster(n_workers, k, p.objsen, spread)
+        groups = partition_specs(specs, min(D, len(specs)))
+        self.severed = sever_cross_domain_cells(groups)
+        # round 1 must carry every worker's first solve through the
+        # pmin/pmax leg for the ideal point to be exact
+        self.slots = max(self.slots, max(len(g) for g in groups))
+
+        # per-domain stores: domain feasible store + domain infeasibles
+        dom_store = [Solutions(k) for _ in groups]
+        dom_inf = [Solutions(k) for _ in groups]
+        #: which objectives' ideal coordinates round 1 determines exactly
+        lead_objs = {spec.perm[0] for spec in specs}
+
+        live: List[list] = []  # [domain, spec, gen, pending_rhs]
+        for d, group in enumerate(groups):
+            for spec in group:
+                g = aira_worker(p, spec, dom_store[d], dom_inf[d])
+                try:
+                    rhs = next(g)
+                    live.append([d, spec, g, rhs])
+                except StopIteration:
+                    pass
+
+        inf_sizes = [len(s) for s in dom_inf]
+        ideal_done = False
+
+        while live:
+            self.rounds += 1
+            reqs = [
+                LexRequest(rhs=item[3], perm=item[1].perm) for item in live
+            ]
+            self.batch_sizes.append(len(reqs))
+            outcomes = self.backend.lex_solve_batch(reqs)
+
+            round_vals: List[List[np.ndarray]] = [[] for _ in groups]
+            nxt = []
+            for item, out in zip(live, outcomes):
+                d, spec, g, _ = item
+                self.ip_count += out.ip_solves
+                if out.result is not None:
+                    round_vals[d].append(np.asarray(out.result, dtype=np.float64))
+                reply = (out.status.is_infeasible, out.result)
+                try:
+                    rhs = g.send(reply)
+                    nxt.append([d, spec, g, rhs])
+                except StopIteration:
+                    pass
+            live = nxt
+
+            if self.exchange and len(groups) > 1:
+                new_boxes = []
+                for d, s in enumerate(dom_inf):
+                    lo_i = inf_sizes[d]
+                    new_boxes.append(
+                        np.array(s._ips[lo_i : len(s)], dtype=np.float64).reshape(
+                            -1, k
+                        )
+                    )
+                vals_in = [
+                    np.array(v, dtype=np.float64).reshape(-1, k)
+                    for v in round_vals
+                ]
+                boxes, flags, (lo, hi) = self._exchange_round(new_boxes, vals_in)
+                # merge foreign infeasible boxes into every domain
+                for row in np.flatnonzero(flags == 1):
+                    src_dom = int(row) // self.slots
+                    for d in range(len(groups)):
+                        if d == src_dom:
+                            continue
+                        self.exchanged_boxes += 1
+                        dom_inf[d].insert(boxes[row], None, True)
+                # ideal-point cuts: after round 1 the reduced extremes are
+                # exact for every objective some worker leads with
+                if not ideal_done and self.rounds == 1:
+                    ideal_done = True
+                    ideal = lo if is_min else hi
+                    for j in sorted(lead_objs):
+                        if abs(ideal[j]) >= _BIGVAL / 2:
+                            continue
+                        box = np.full(k, INF if is_min else -INF)
+                        box[j] = ideal[j] - 1 if is_min else ideal[j] + 1
+                        for d in range(len(groups)):
+                            dom_inf[d].insert(box, None, True)
+                inf_sizes = [len(s) for s in dom_inf]
+
+        for s in dom_store:
+            if isinstance(all_store, Solutions):
+                all_store.merge(s)
+            else:  # e.g. the native C++ store: generic insert path
+                for i in range(len(s)):
+                    all_store.insert(
+                        s._ips[i],
+                        None if s._infeasible[i] else s._results[i],
+                        bool(s._infeasible[i]),
+                    )
+        return all_store

@@ -28,7 +28,14 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):  # jax>=0.7 renamed check_rep -> check_vma
+        kw["check_vma"] = kw.pop("check_rep", True)
+        return _shard_map(f, **kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from moip_aira_tpu.problem import Problem
@@ -123,4 +130,55 @@ def make_distributed_round(problem: Problem, mesh: Mesh, batch_per_device: int =
 
 def shard_batch(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
     """Place a batch-leading array with its batch dim split over the mesh."""
-    return jax.device_put(arr, NamedSharding(mesh, P(tuple(mesh.axis_names), None)))
+    spec = P(tuple(mesh.axis_names), *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def make_bound_exchange(mesh: Mesh, k: int, slots: int):
+    """The per-round enumeration collective (reference aira.cpp:923-1551
+    intent, SURVEY §5 north star), as ONE compiled program over the mesh:
+
+    * **allgather of infeasible boxes** — the reference's only cross-worker
+      store is the shared ``infeasibles`` list (aira.cpp:816-827); an
+      infeasible objective-bound box is permutation-independent, so every
+      domain can prune with every other domain's dead ends.  (Feasible lex
+      results are NOT exchangeable across domains: they are lexicographic
+      optima *under the producing worker's permutation*, which is why the
+      reference, too, keeps per-thread private solution stores.)
+    * **pmin/pmax allreduce of solved objective values** — after the first
+      round this yields the exact ideal point (each objective led by some
+      worker), from which domains derive sound "beyond the ideal point"
+      infeasibility cuts.
+
+    Returns ``exchange(boxes, flags, vals, vflags)`` where per-device arrays
+    are stacked into a (D*slots, …) batch sharded over the mesh:
+      boxes  (D*slots, k) f64 — infeasible rhs boxes (padding rows arbitrary)
+      flags  (D*slots,)  i32 — 1 = real box, 0 = padding
+      vals   (D*slots, k) f64 — feasible result vectors
+      vflags (D*slots,)  i32 — 1 = real value row, 0 = padding
+    and returns (all_boxes, all_flags, lo, hi) replicated on every device.
+    """
+    axes = tuple(mesh.axis_names)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes), P(axes, None), P(axes)),
+        out_specs=(P(None, None), P(None), P(None, None), P(None, None)),
+        check_rep=False,
+    )
+    def _exchange(boxes, flags, vals, vflags):
+        vmask = (vflags > 0)[:, None]
+        lo_loc = jnp.where(vmask, vals, BIGVAL).min(axis=0)
+        hi_loc = jnp.where(vmask, vals, -BIGVAL).max(axis=0)
+        for ax in axes:
+            lo_loc = jax.lax.pmin(lo_loc, ax)
+            hi_loc = jax.lax.pmax(hi_loc, ax)
+        all_boxes = boxes
+        all_flags = flags
+        for ax in axes:
+            all_boxes = jax.lax.all_gather(all_boxes, ax, tiled=True)
+            all_flags = jax.lax.all_gather(all_flags, ax, tiled=True)
+        return all_boxes, all_flags, lo_loc[None], hi_loc[None]
+
+    return jax.jit(_exchange)

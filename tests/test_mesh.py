@@ -64,3 +64,50 @@ def test_wave_backend_mesh_sharded():
     p = read_problem(f"{EXAMPLES}/2AP05.lp")
     front = solve_front(p, n_workers=2, backend="wave", mesh_devices=8)
     assert front.solution_count == 9
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_scheduler_exchange_prunes():
+    """The collective bound exchange must actually prune: same exact front,
+    strictly fewer ILP subproblems than severed-domains-without-exchange
+    (VERDICT round-1 item 3 done-criterion)."""
+    from moip_aira_tpu.api import make_backend
+    from moip_aira_tpu.core.store import Solutions
+    from moip_aira_tpu.engine.mesh_scheduler import MeshScheduler
+    from moip_aira_tpu.io import read_problem
+    from moip_aira_tpu.parallel.mesh import make_mesh
+
+    from conftest import EXAMPLES
+
+    p = read_problem(f"{EXAMPLES}/3AP05.lp")
+    mesh = make_mesh(8)
+    fronts, ips = [], {}
+    for ex in (True, False):
+        st = Solutions(p.objcnt)
+        ms = MeshScheduler(p, make_backend(p, "numpy"), mesh, exchange=ex)
+        ms.run(6, True, st)
+        fronts.append(st.sorted_unique_points())
+        ips[ex] = ms.ip_count
+        if ex:
+            assert ms.severed > 0  # domains really were disconnected
+            assert ms.exchanged_boxes > 0  # collective really carried boxes
+    assert np.array_equal(fronts[0], fronts[1])  # exactness unaffected
+    assert ips[True] < ips[False]  # exchanged bounds pruned subproblems
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_scheduler_golden_2ap05():
+    """Distributed enumeration (workers partitioned over domains, collective
+    exchange each round) reproduces the golden front through solve_front."""
+    from moip_aira_tpu.api import solve_front
+    from moip_aira_tpu.io import read_problem
+    from moip_aira_tpu.parallel.symgroup import max_workers
+
+    from conftest import EXAMPLES
+
+    p = read_problem(f"{EXAMPLES}/3AP05.lp")
+    front = solve_front(
+        p, n_workers=max_workers(p.objcnt), backend="numpy", mesh_devices=8
+    )
+    assert front.solution_count == 12
+    assert front.ip_count > 0 and front.rounds > 0
