@@ -104,7 +104,7 @@ class WaveLexBackend:
         dtype: str = "float32",
         engine: str = "auto",
         mesh=None,
-        warm_start: bool = False,
+        warm_start="auto",
     ):
         jax.config.update("jax_enable_x64", True)
         _enable_persistent_cache()
@@ -132,13 +132,19 @@ class WaveLexBackend:
             except Exception:
                 engine = "xla"
         self.engine = engine
-        # Warm-starting children from parent bases is implemented end-to-end
-        # (in-kernel Gauss-Jordan rebuild, see pallas_lp.py) but loses on
-        # mixed cold/warm waves: the batched while-loop runs to the slowest
-        # lane, so the saved iterations don't shorten the wave while the
-        # basis rebuild is paid by every wave.  Off by default until waves
-        # are scheduled homogeneously.
-        self.warm_start = warm_start
+        # Warm-starting children from parent bases (in-kernel Gauss-Jordan
+        # rebuild, see pallas_lp.py) pairs with HOMOGENEOUS wave gathering
+        # (_submit_wave): a batched while-loop runs to its slowest lane, so
+        # cold roots and warm children are batched separately.  MEASURED on
+        # the dense-tableau kernel the rebuild does not pay: each GJ step
+        # costs ~2 pivots over the full (B, m_p, nc_p) tableau, so m_p steps
+        # exceed a cold solve's ~2-4m pivots (bench: 1609 vs 2316 lex-IP/s
+        # warm vs cold on 2AP05).  Default off; the revised-simplex kernel
+        # (pallas_rev) rebuilds only (m_p, m_p) state, where warm wins.
+        if warm_start == "auto":
+            self.warm_start = False
+        else:
+            self.warm_start = bool(warm_start)
         self._wave_basis = None
         self._wave_atup = None
 
