@@ -120,17 +120,26 @@ class WaveLexBackend:
                 f"{mesh.size}-device mesh"
             )
         if engine == "auto":
-            # the Mosaic kernel is TPU-specific (one-hot layouts, scratch
+            # the Mosaic kernels are TPU-specific (one-hot layouts, scratch
             # sizing); every other platform — CPU, GPU — gets the XLA
             # while-loop twin.  'axon' is the tunnelled-TPU platform name.
+            # Between the two Mosaic kernels: the dense tableau wins on tiny
+            # systems (fewer ops per pivot, no matmul latency); the revised
+            # kernel wins once the tableau row is wide — its per-pivot state
+            # is (m, m) not (m, nc) and pricing rides the MXU — and is the
+            # only one whose VMEM footprint admits batch >= 64 at
+            # reference-workload shapes (2AP40+).
             try:
-                engine = (
-                    "pallas"
-                    if jax.devices()[0].platform in ("tpu", "axon")
-                    else "xla"
-                )
+                on_tpu = jax.devices()[0].platform in ("tpu", "axon")
             except Exception:
+                on_tpu = False
+            if not on_tpu:
                 engine = "xla"
+            else:
+                m_total, nvar = problem.m_total, problem.n
+                engine = (
+                    "pallas_rev" if (nvar + m_total) >= 512 else "pallas"
+                )
         self.engine = engine
         # Warm-starting children from parent bases (in-kernel Gauss-Jordan
         # rebuild, see pallas_lp.py) pairs with HOMOGENEOUS wave gathering
@@ -142,7 +151,9 @@ class WaveLexBackend:
         # warm vs cold on 2AP05).  Default off; the revised-simplex kernel
         # (pallas_rev) rebuilds only (m_p, m_p) state, where warm wins.
         if warm_start == "auto":
-            self.warm_start = False
+            # the revised kernel's rebuild is (m, 2m) Gauss-Jordan — nc/m
+            # times cheaper than the dense kernel's — so warm pays there
+            self.warm_start = engine == "pallas_rev"
         else:
             self.warm_start = bool(warm_start)
         self._wave_basis = None
@@ -156,13 +167,29 @@ class WaveLexBackend:
         A_full = np.vstack([p.A, p.C])
         self._A_full = A_full
         W_np = np.hstack([A_full, -np.eye(self.m)])
-        if self.engine == "pallas":
-            from moip_aira_tpu.solver.pallas_lp import make_pallas_lp_batch
+        if self.engine in ("pallas", "pallas_rev"):
+            if self.engine == "pallas_rev":
+                from moip_aira_tpu.solver.pallas_rev import (
+                    make_pallas_rev_batch as _make_kernel,
+                )
+            else:
+                from moip_aira_tpu.solver.pallas_lp import (
+                    make_pallas_lp_batch as _make_kernel,
+                )
 
             self.f32 = True
             per_dev = batch_width // (mesh.size if mesh is not None else 1)
-            pfn, pmeta = make_pallas_lp_batch(
-                W_np.astype(np.float32), per_dev, max_iters=lp_max_iters
+            try:
+                _interp = jax.devices()[0].platform not in ("tpu", "axon")
+            except Exception:
+                _interp = True
+            pfn, pmeta = _make_kernel(
+                W_np.astype(np.float32),
+                per_dev,
+                max_iters=lp_max_iters,
+                # explicit engine="pallas*" on CPU runs the Mosaic kernel in
+                # interpret mode — slow, but lets tests cover the real path
+                interpret=_interp,
             )
             self._pallas_meta = pmeta
             if mesh is not None:
