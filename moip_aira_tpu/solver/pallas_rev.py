@@ -453,7 +453,8 @@ def make_pallas_rev_batch(
             # ---- apply: pivot (rank-1 update of B^-1) --------------------
             piv = jnp.sum(jnp.where(rmask, alpha, 0.0), axis=1)
             safe_piv = jnp.where(jnp.abs(piv) > 1e-12, piv, 1.0)
-            rowv = jnp.sum(BI[...] * rmask[:, :, None].astype(jnp.float32), axis=1)
+            # Mosaic: no bool minor-dim insertion — cast before expanding
+            rowv = jnp.sum(BI[...] * rmask.astype(jnp.float32)[:, :, None], axis=1)
             rowdiv = rowv / safe_piv[:, None]  # (B, m_p) over j
             colv_mod = jnp.where(rmask, piv[:, None] - 1.0, alpha)
             BI_new = BI[...] - colv_mod[:, :, None] * rowdiv[:, None, :]

@@ -63,21 +63,29 @@ def kp_lp(
     vlo: int = 60,
     vhi: int = 101,
     capacity_frac: float = 0.5,
+    constraints: int = 1,
 ) -> str:
-    """k-objective binary knapsack: maximise values under one capacity row."""
+    """k-objective binary knapsack: maximise values under ``constraints``
+    capacity rows.  ``constraints=2`` is the paper's KP2D family
+    (1701.08920 Timing.ods sheet 2: bi-objective 2-constraint knapsacks;
+    weights and values uniform, capacities half the weight sums)."""
     rng = np.random.default_rng(seed)
-    w = rng.integers(vlo, vhi, size=items)
-    cap = capacity_frac * w.sum()
     names = [f"x{i}" for i in range(items)]
     lines = [
         "\\ Objective function sense defines the sense of multiple objectives",
         "maximize 0",
         "",
         "subject to",
-        "\\ Capacity constraint",
-        " + ".join(f"{w[i]} {names[i]}" for i in range(items)) + f" <= {cap:g}",
-        "",
     ]
+    for r in range(constraints):
+        w = rng.integers(vlo, vhi, size=items)
+        cap = capacity_frac * w.sum()
+        lines.append("\\ Capacity constraint %d" % (r + 1))
+        lines.append(
+            " + ".join(f"{w[i]} {names[i]}" for i in range(items))
+            + f" <= {cap:g}"
+        )
+        lines.append("")
     for o in range(objectives):
         v = rng.integers(vlo, vhi, size=items)
         lines.append("\\ Objective %d" % (o + 1))
@@ -142,6 +150,10 @@ def main(argv=None) -> int:
     pa.add_argument("--size", type=int, default=5)
     pk = sub.add_parser("kp", help="binary knapsack (.lp)")
     pk.add_argument("--items", type=int, default=50)
+    pk.add_argument(
+        "--constraints", type=int, default=1,
+        help="capacity rows (2 = the paper's KP2D family)",
+    )
     pm = sub.add_parser("mop", help="integer knapsack (.mop)")
     pm.add_argument("--items", type=int, default=30)
     for P in (pa, pk, pm):
@@ -152,7 +164,10 @@ def main(argv=None) -> int:
     if args.family == "ap":
         text = ap_lp(args.size, args.objectives, args.seed)
     elif args.family == "kp":
-        text = kp_lp(args.items, args.objectives, args.seed)
+        text = kp_lp(
+            args.items, args.objectives, args.seed,
+            constraints=args.constraints,
+        )
     else:
         text = kp_mop(args.items, args.objectives, args.seed)
     with open(args.output, "w") as fh:
