@@ -352,6 +352,11 @@ class WaveLexBackend:
         objv = np.where(cert.ok, cert.obj, np.nan)
         xs = cert.x
         self._last_cert = cert
+        # duals are only valid where the certificate held AND the device
+        # claimed OPTIMAL (verify.py contract); lanes re-solved by the host
+        # fallback below keep their *stale* cert rows — reduced-cost fixing
+        # on those is unsound (can fix off the true optimum)
+        self._cert_fix_ok = cert.ok & (status == sx.OPTIMAL)
         bad = np.flatnonzero(
             ~cert.ok
             & ((status == sx.OPTIMAL) | (status == sx.INFEASIBLE))
@@ -582,6 +587,8 @@ class WaveLexBackend:
                     task.fix_d
                     and cert is not None
                     and cert.d is not None
+                    and getattr(self, "_cert_fix_ok", None) is not None
+                    and self._cert_fix_ok[i]
                     and np.isfinite(task.best)
                 ):
                     margin = (
