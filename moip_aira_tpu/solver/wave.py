@@ -75,8 +75,12 @@ class _StageTask:
         self.c_struct = c_struct
         self.obj_int = obj_int
         self.srhs = srhs
-        # DFS stack of (lo, hi, warm_basis, warm_at_upper)
-        self.nodes: List = [(lb.copy(), ub.copy(), None, None)]
+        # DFS stack of (lo, hi, warm_basis, warm_at_upper, parent_bound);
+        # parent_bound is a valid f64 lower bound on every solution in the
+        # node (its parent's certified LP bound) — checked against the
+        # incumbent at SUBMIT time, so nodes created before a better
+        # incumbent arrived are dropped without a device solve
+        self.nodes: List = [(lb.copy(), ub.copy(), None, None, -np.inf)]
         self.best = np.inf
         self.best_x: Optional[np.ndarray] = None
         self.node_count = 0
@@ -353,48 +357,50 @@ class WaveLexBackend:
         xs = cert.x
         self._last_cert = cert
         # duals are only valid where the certificate held AND the device
-        # claimed OPTIMAL (verify.py contract); lanes re-solved by the host
-        # fallback below keep their *stale* cert rows — reduced-cost fixing
-        # on those is unsound (can fix off the true optimum)
+        # claimed OPTIMAL (verify.py contract); uncertified lanes keep
+        # *stale* cert rows — reduced-cost fixing on those is unsound
+        # (can fix off the true optimum)
         self._cert_fix_ok = cert.ok & (status == sx.OPTIMAL)
-        bad = np.flatnonzero(
+        # every uncertified or iteration-limited lane is re-solved exactly
+        # NOW, warm-started from the device basis (usually a few pivots —
+        # measured ~2% of lanes, caused by the kernel's loose f32
+        # termination tolerances).  A deferred prune-by-dual-bound scheme
+        # was tried and measured useless (0/1146 lanes pruned): the claimed
+        # bases' dual bounds are far too weak near the true optimum.
+        retry = np.flatnonzero(
             ~cert.ok
-            & ((status == sx.OPTIMAL) | (status == sx.INFEASIBLE))
+            | ((status != sx.OPTIMAL) & (status != sx.INFEASIBLE))
         )
-        retry = set(bad.tolist()) | set(
-            np.flatnonzero(
-                (status != sx.OPTIMAL) & (status != sx.INFEASIBLE)
-            ).tolist()
-        )
-        if retry:
-            if self._ws is None:
-                from moip_aira_tpu.solver.simplex_np import SimplexWorkspace
-
-                self._ws = SimplexWorkspace(
-                    np.vstack([self.problem.A, self.problem.C])
-                )
-            from moip_aira_tpu.solver.simplex_np import solve_lp
-            from moip_aira_tpu.solver.status import SolveStatus as SS
-
-            for i in sorted(retry):
-                self.verify_fallbacks += 1
-                r = solve_lp(
-                    self._ws,
-                    c[i, : self.n],
-                    lo[i],
-                    hi[i],
-                    warm_basis=basis[i],
-                    warm_at_upper=at_upper[i],
-                )
-                if r.status == SS.OPTIMAL:
-                    status[i] = sx.OPTIMAL
-                    objv[i] = r.obj
-                    xs[i] = r.x
-                elif r.status == SS.INFEASIBLE:
-                    status[i] = sx.INFEASIBLE
-                else:
-                    status[i] = sx.ITER_LIMIT
+        for i in retry:
+            r = self._host_exact_lp(
+                c[i, : self.n], lo[i], hi[i], basis[i], at_upper[i]
+            )
+            if r.status == SolveStatus.OPTIMAL:
+                status[i] = sx.OPTIMAL
+                objv[i] = r.obj
+                xs[i] = r.x
+            elif r.status == SolveStatus.INFEASIBLE:
+                status[i] = sx.INFEASIBLE
+                objv[i] = np.nan
+            else:
+                status[i] = sx.ITER_LIMIT
         return status, objv, xs
+
+    def _host_exact_lp(self, c_struct, lo, hi, warm_basis, warm_at_upper):
+        """One exact f64 LP on the host, warm-started from a device basis."""
+        if self._ws is None:
+            from moip_aira_tpu.solver.simplex_np import SimplexWorkspace
+
+            self._ws = SimplexWorkspace(
+                np.vstack([self.problem.A, self.problem.C])
+            )
+        from moip_aira_tpu.solver.simplex_np import solve_lp
+
+        self.verify_fallbacks += 1
+        return solve_lp(
+            self._ws, c_struct, lo, hi,
+            warm_basis=warm_basis, warm_at_upper=warm_at_upper,
+        )
 
     # -- wave submit / complete --------------------------------------------
     def _submit_wave(self, active: List[_StageTask]):
@@ -429,15 +435,26 @@ class WaveLexBackend:
             def want(node):
                 return True
 
+        # adaptive quota: when few tasks are active (deep in the epsilon
+        # ladder it's often 2-4), a fixed nodes_per_task leaves the wave
+        # nearly empty — the device runs 16 of 256 lanes.  Let every task
+        # claim an equal share of the whole batch instead; nodes_per_task
+        # stays the floor so many-task phases keep their fair round-robin.
+        n_active = sum(1 for t_ in active if t_.nodes)
+        quota = max(self.nodes_per_task, B // max(1, n_active))
         for task in active:
             take = 0
+            eps_t = INT_TOL if task.obj_int else 1e-9
             while (
-                take < self.nodes_per_task
+                take < quota
                 and task.nodes
                 and len(wave) < B
                 and want(task.nodes[-1])
             ):
-                wave.append((task, *task.nodes.pop()))
+                node = task.nodes.pop()
+                if node[4] >= task.best - eps_t:
+                    continue  # incumbent improved since this node was made
+                wave.append((task, *node))
                 take += 1
             task.inflight += take
             if len(wave) >= B:
@@ -446,9 +463,14 @@ class WaveLexBackend:
         if nb == 0 and self.warm_start:
             # nothing of the preferred kind at the stack tops — take anything
             for task in active:
-                take = min(self.nodes_per_task, len(task.nodes), B - len(wave))
-                for _ in range(take):
-                    wave.append((task, *task.nodes.pop()))
+                take = 0
+                eps_t = INT_TOL if task.obj_int else 1e-9
+                while take < quota and task.nodes and len(wave) < B:
+                    node = task.nodes.pop()
+                    if node[4] >= task.best - eps_t:
+                        continue
+                    wave.append((task, *node))
+                    take += 1
                 task.inflight += take
                 if len(wave) >= B:
                     break
@@ -460,7 +482,7 @@ class WaveLexBackend:
         hi_buf = np.zeros((B, nc))
         wb_buf = np.full((B, self.m), -1, dtype=np.int32)
         wa_buf = np.zeros((B, nc), dtype=np.int32)
-        for i, (task, nlo, nhi, wb, wa) in enumerate(wave):
+        for i, (task, nlo, nhi, wb, wa, _pb) in enumerate(wave):
             c_buf[i] = task.cvec
             lo_buf[i, : self.n] = nlo
             lo_buf[i, self.n :] = task.llo
@@ -525,7 +547,7 @@ class WaveLexBackend:
                 frmaxs = np.zeros(nb)
                 jlocs = np.zeros(nb, dtype=np.int64)
                 fls = np.zeros(nb)
-            for i, (task, nlo, nhi, _wb, _wa) in enumerate(wave):
+            for i, (task, nlo, nhi, _wb, _wa, _pb) in enumerate(wave):
                 task.node_count += 1
                 task.inflight -= 1
                 if task.failed:
@@ -538,9 +560,8 @@ class WaveLexBackend:
                     task.failed = True
                     task.nodes.clear()
                     continue
-                if bounds[i] >= task.best - (
-                    INT_TOL if task.obj_int else 1e-9
-                ):
+                eps_i = INT_TOL if task.obj_int else 1e-9
+                if bounds[i] >= task.best - eps_i:
                     continue
                 if frmaxs[i] <= INT_TOL:
                     if objv[i] < task.best - INT_TOL:
@@ -621,13 +642,15 @@ class WaveLexBackend:
                 use_w = self.warm_start and self._wave_basis is not None
                 cb = self._wave_basis[i] if use_w else None
                 ca = self._wave_atup[i] if use_w else None
-                # DFS toward the LP value: nearer child on top
+                # DFS toward the LP value: nearer child on top; children
+                # inherit this node's certified bound for submit-time pruning
+                pb = float(bounds[i])
                 if xs[i][jloc] - fl > 0.5:
-                    task.nodes.append((child_lo, dn_hi, cb, ca))
-                    task.nodes.append((up_lo, child_hi, cb, ca))
+                    task.nodes.append((child_lo, dn_hi, cb, ca, pb))
+                    task.nodes.append((up_lo, child_hi, cb, ca, pb))
                 else:
-                    task.nodes.append((up_lo, child_hi, cb, ca))
-                    task.nodes.append((child_lo, dn_hi, cb, ca))
+                    task.nodes.append((up_lo, child_hi, cb, ca, pb))
+                    task.nodes.append((child_lo, dn_hi, cb, ca, pb))
 
     def _advance_pool(self, pool: List[_StageTask], state) -> List[_StageTask]:
         """Finish tasks whose stacks drained; start their next stages."""
@@ -707,7 +730,16 @@ class WaveLexBackend:
                 self._complete_wave(inflight.popleft(), state)
                 pool = self._advance_pool(pool, state)
             else:
-                break  # nothing submittable and nothing pending
+                # nothing submittable and nothing pending — but submit-time
+                # pruning may have just emptied stacks, leaving finished
+                # tasks to advance (and possibly next stages to start)
+                drained = self._advance_pool(pool, state)
+                if len(drained) == len(pool) and not any(
+                    t.nodes for t in drained
+                ):
+                    pool = drained
+                    break
+                pool = drained
 
         out: List[LexOutcome] = []
         for i in range(n_req):
