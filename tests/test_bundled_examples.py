@@ -97,6 +97,21 @@ def test_bundled_mop_golden():
 
 
 @pytest.mark.slow
+def test_bundled_kp2d50_wave():
+    """KP2D family (2 capacity rows — the paper's KP2D workload, SURVEY §6):
+    the wave backend reproduces the bundled golden front.  The golden was
+    differentially verified against the numpy oracle (35 pts, 74 IPs; the
+    oracle takes ~690 s, the wave backend ~40 s on CPU), so this exercises
+    the general AIRA+B&B path on an instance the kp_front DP cannot take
+    (two capacity rows)."""
+    p = read_problem(f"{EX}/KP2D50.lp")
+    front = solve_front(p, n_workers=2, backend="wave")
+    expect = bundled_front("KP2D50")
+    assert front.points.shape == expect.shape
+    assert (front.points == expect).all()
+
+
+@pytest.mark.slow
 def test_generated_2ap08_modes_agree(tmp_path):
     """Scale smoke: a generated 8x8 assignment instance (64 binaries) gives
     identical fronts across synergistic, EPP and the wave backend."""
