@@ -4,7 +4,10 @@ This is the host-side reference implementation of the LP kernel that replaces
 the LP relaxation inside CPLEX's ``CPXmipopt`` (reference src/aira.cpp:480).
 The JAX/TPU backend (solver/simplex_jax.py) implements the *same algorithm*
 with the same tolerances so both produce identical bases; this NumPy version
-is the debuggable oracle used by the unit tests.
+is the debuggable oracle used by the unit tests — and the EXACT court of last
+resort for every device lane whose f64 certificate fails, so its terminal
+claims must be trustworthy under arbitrary (including adversarial) warm
+bases.
 
 Formulation ("logical variable" form, as used by production LP codes):
 
@@ -18,8 +21,20 @@ composite phase-1 (minimise total bound infeasibility of basic variables,
 cf. Maros, "Computational Techniques of the Simplex Method") reaches
 feasibility without artificial variables or big-M, then phase-2 optimises
 ``c @ x``.  Degenerate cycling is broken by switching to Bland's rule after a
-stall.  All data in the target problems is integer, so float64 arithmetic with
-1e-7 tolerances recovers exact optima.
+stall.  All data in the target problems is integer, so float64 arithmetic
+with 1e-7 tolerances recovers exact optima — PROVIDED the tableau has not
+drifted.  Two defences make that proviso real (both motivated by a measured
+failure: a garbage f32 device basis warm-started ~7k pivots of rank-1
+updates, the tableau rotted, and phase-1 declared a feasible LP INFEASIBLE,
+which surfaced as a dominated point on 2AP40):
+
+* periodic refactorisation — every ``REFACTOR_EVERY`` basis changes the
+  tableau and basic values are recomputed from scratch (``T = B^-1 W``,
+  ``xB = -T_N z_N``), discarding accumulated rank-1-update error;
+* refactor-verified termination — INFEASIBLE / OPTIMAL / UNBOUNDED are only
+  returned when the deciding state was computed from a freshly refactored
+  tableau; a stale-tableau "conclusion" triggers a refactor and the loop
+  continues from exact data instead.
 """
 
 from __future__ import annotations
@@ -35,6 +50,7 @@ FEAS_TOL = 1e-7
 COST_TOL = 1e-9
 PIVOT_TOL = 1e-9
 STALL_LIMIT = 60  # iterations without objective progress before Bland's rule
+REFACTOR_EVERY = 256  # basis changes between tableau recomputations
 
 
 class LPResult(NamedTuple):
@@ -58,6 +74,23 @@ class SimplexWorkspace:
         self.ncols = self.n + self.m
 
 
+def _refactor(ws, basis, in_basis, zvals):
+    """Exact state from scratch: T = B^-1 W, xB = -T_N z_N.
+
+    Returns (T, xB) or (None, None) if the basis matrix is singular.
+    """
+    B = ws.W[:, basis]
+    try:
+        T = np.linalg.solve(B, ws.W)
+    except np.linalg.LinAlgError:
+        return None, None
+    if not np.isfinite(T).all():
+        return None, None
+    nb = ~in_basis
+    xB = -T[:, nb] @ zvals[nb]
+    return T, xB
+
+
 def solve_lp(
     ws: SimplexWorkspace,
     c: np.ndarray,
@@ -73,9 +106,11 @@ def solve_lp(
     bounds (objective-bound rows included in A_full by the caller).
 
     ``warm_basis``/``warm_at_upper`` restart from an advanced basis (e.g. the
-    near-optimal basis an f32 device kernel returned): the tableau is rebuilt
-    exactly as B^-1 W and the composite phase-1/phase-2 loop continues from
-    there — typically a handful of pivots.
+    basis an f32 device kernel returned).  The warm basis is validated
+    (in-range, duplicate-free, nonsingular, bound-consistent statuses) and
+    then has to BEAT the cold logical basis on initial infeasibility to be
+    used — a near-optimal basis wins by miles, a garbage one loses and the
+    solve silently starts cold.  Correctness never depends on the choice.
     """
     m, ncols = ws.m, ws.ncols
     n = ws.n
@@ -89,43 +124,64 @@ def solve_lp(
     finite_lo = np.isfinite(lo)
     finite_hi = np.isfinite(hi)
 
-    T = None
-    basis = None
-    at_upper = None
-    if warm_basis is not None:
+    def _start_state(basis, at_upper):
+        in_basis = np.zeros(ncols, dtype=bool)
+        in_basis[basis] = True
+        # nonbasic statuses must name a finite bound; repair any that don't
+        at_upper = at_upper & finite_hi
+        at_upper = at_upper | (~finite_lo & finite_hi)
+        zvals = np.where(at_upper, hi, np.where(finite_lo, lo, 0.0))
+        zvals[~finite_lo & ~finite_hi] = 0.0  # free vars at 0
+        T, xB = _refactor(ws, basis, in_basis, zvals)
+        if T is None:
+            return None
+        infeas = float(
+            np.sum(np.maximum(lo[basis] - xB, 0.0))
+            + np.sum(np.maximum(xB - hi[basis], 0.0))
+        )
+        return basis, at_upper, in_basis, zvals, T, xB, infeas
+
+    # --- cold start: logical basis (B = -I, always nonsingular) ------------
+    cold_basis = np.arange(n, n + m)
+    cold_up = np.zeros(ncols, dtype=bool)
+    cold_up[:n] = ~finite_lo[:n] & finite_hi[:n]
+    state = _start_state(cold_basis, cold_up)
+
+    if warm_basis is not None and warm_at_upper is not None:
         wb = np.asarray(warm_basis, dtype=np.int64)
-        B = ws.W[:, wb]
-        try:
-            Tw = np.linalg.solve(B, ws.W)
-            if np.isfinite(Tw).all():
-                T = Tw
-                basis = wb.copy()
-                at_upper = np.asarray(warm_at_upper, dtype=bool).copy()
-        except np.linalg.LinAlgError:
-            T = None
-
-    if T is None:
-        # --- cold start: logical basis -----------------------------------
-        basis = np.arange(n, n + m)
-        at_upper = np.zeros(ncols, dtype=bool)
-        at_upper[:n] = ~finite_lo[:n] & finite_hi[:n]
-        # tableau T = B^-1 W; with B = -I, T = -W
-        T = -ws.W.copy()
-
-    in_basis = np.zeros(ncols, dtype=bool)
-    in_basis[basis] = True
-    # nonbasic values
-    zvals = np.where(at_upper, hi, np.where(finite_lo, lo, 0.0))
-    zvals[~finite_lo & ~finite_hi] = 0.0  # free vars at 0
-    # basic values: xB = -B^-1 N xN  =>  with T = B^-1 W:  xB = -T_N @ zN
-    nonbasic_mask = ~in_basis
-    xB = -T[:, nonbasic_mask] @ zvals[nonbasic_mask]
+        if (
+            wb.shape == (m,)
+            and (wb >= 0).all()
+            and (wb < ncols).all()
+            and len(np.unique(wb)) == m
+        ):
+            warm = _start_state(
+                wb.copy(), np.asarray(warm_at_upper, dtype=bool).copy()
+            )
+            if warm is not None and (state is None or warm[6] < state[6]):
+                state = warm
+    if state is None:  # cannot happen (cold B = -I); guard anyway
+        return LPResult(SolveStatus.ITERATION_LIMIT, np.nan, None)
+    basis, at_upper, in_basis, zvals, T, xB, _ = state
 
     stall = 0
     last_obj = np.inf
-    phase = 1
+    phase = 0  # recomputed from infeasibility at the top of every iteration
+    since_refactor = 0  # basis changes since T/xB were computed exactly
+
+    def _try_refactor():
+        """Recompute T and xB exactly; True on success."""
+        nonlocal T, xB, since_refactor
+        T2, xB2 = _refactor(ws, basis, in_basis, zvals)
+        if T2 is None:
+            return False
+        T, xB = T2, xB2
+        since_refactor = 0
+        return True
 
     for it in range(max_iters):
+        if since_refactor >= REFACTOR_EVERY:
+            _try_refactor()
         bl = lo[basis]
         bh = hi[basis]
         below = xB < bl - FEAS_TOL
@@ -133,8 +189,9 @@ def solve_lp(
         infeasible_sum = np.sum(np.where(below, bl - xB, 0.0)) + np.sum(
             np.where(above, xB - bh, 0.0)
         )
-        if phase == 1 and infeasible_sum <= FEAS_TOL:
-            phase = 2
+        new_phase = 1 if infeasible_sum > FEAS_TOL else 2
+        if new_phase != phase:
+            phase = new_phase
             stall = 0
             last_obj = np.inf
 
@@ -154,6 +211,10 @@ def solve_lp(
         can_dn = nb & ((at_upper & (d > COST_TOL)) | (free & (d > COST_TOL)))
         eligible = can_up | can_dn
         if not eligible.any():
+            # terminal claim — only trust it from an exact (fresh) tableau;
+            # rank-1-update drift has been measured to flip this verdict
+            if since_refactor > 0 and _try_refactor():
+                continue
             if phase == 1:
                 return LPResult(SolveStatus.INFEASIBLE, np.nan, None)
             # optimal
@@ -226,6 +287,10 @@ def solve_lp(
                 leave_to_upper = bool(hits_upper[pick])
 
         if not np.isfinite(theta):
+            # terminal claim (unbounded ray / no blocking row) — same rule:
+            # only trust it computed from a fresh tableau
+            if since_refactor > 0 and _try_refactor():
+                continue
             if phase == 1:
                 # cannot happen for a bounded phase-1; guard anyway
                 return LPResult(SolveStatus.INFEASIBLE, np.nan, None)
@@ -255,6 +320,7 @@ def solve_lp(
             T -= np.outer(col, T[leave, :])
             basis[leave] = q
             xB[leave] = newval
+            since_refactor += 1
 
         # stall detection (objective progress)
         if cur_obj < last_obj - 1e-12:

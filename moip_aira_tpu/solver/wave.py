@@ -351,7 +351,13 @@ class WaveLexBackend:
         """Certify f32 device claims in f64; uncertified lanes continue the
         exact host simplex *warm-started from the device basis* (usually a
         couple of pivots — the f32 kernel lands on or next to the optimal
-        vertex; see solver/verify.py)."""
+        vertex; see solver/verify.py).
+
+        Soundness model (see verify.py): pruning uses ONLY
+        ``self._dual_lb`` — the rigorous interval dual bound where the
+        certificate held, the exact host LP value where it did not.  The
+        claimed vertex value ``objv`` guides heuristics and branching but
+        never a prune."""
         cert = self._verifier.certify(c, lo, hi, status, basis, at_upper)
         objv = np.where(cert.ok, cert.obj, np.nan)
         xs = cert.x
@@ -361,27 +367,32 @@ class WaveLexBackend:
         # *stale* cert rows — reduced-cost fixing on those is unsound
         # (can fix off the true optimum)
         self._cert_fix_ok = cert.ok & (status == sx.OPTIMAL)
-        # every uncertified or iteration-limited lane is re-solved exactly
-        # NOW, warm-started from the device basis (usually a few pivots —
-        # measured ~2% of lanes, caused by the kernel's loose f32
-        # termination tolerances).  A deferred prune-by-dual-bound scheme
-        # was tried and measured useless (0/1146 lanes pruned): the claimed
-        # bases' dual bounds are far too weak near the true optimum.
+        self._dual_lb = cert.dual_bound.copy()
+        self._lane_exact = np.zeros(len(status), dtype=bool)
+        # every uncertified or iteration-limited lane — and any certified
+        # lane whose rigorous bound came out -inf — is re-solved exactly
+        # NOW, warm-started from the device basis (measured ~2% of lanes,
+        # caused by the kernel's loose f32 termination tolerances).
         retry = np.flatnonzero(
             ~cert.ok
             | ((status != sx.OPTIMAL) & (status != sx.INFEASIBLE))
+            | ((status == sx.OPTIMAL) & ~np.isfinite(cert.dual_bound))
         )
         for i in retry:
             r = self._host_exact_lp(
                 c[i, : self.n], lo[i], hi[i], basis[i], at_upper[i]
             )
+            self._lane_exact[i] = True
+            self._cert_fix_ok[i] = False
             if r.status == SolveStatus.OPTIMAL:
                 status[i] = sx.OPTIMAL
                 objv[i] = r.obj
                 xs[i] = r.x
+                self._dual_lb[i] = r.obj
             elif r.status == SolveStatus.INFEASIBLE:
                 status[i] = sx.INFEASIBLE
                 objv[i] = np.nan
+                self._dual_lb[i] = np.inf
             else:
                 status[i] = sx.ITER_LIMIT
         return status, objv, xs
@@ -532,8 +543,18 @@ class WaveLexBackend:
             obj_int_arr = np.fromiter(
                 (w[0].obj_int for w in wave), dtype=bool, count=nb
             )
+            # node lower bounds: the rigorous interval dual bound for
+            # certified f32 lanes, the host/device exact LP value otherwise
+            # (verify.py soundness model — the claimed vertex value objv is
+            # NEVER used to prune)
+            if self.f32:
+                lane_lb = self._dual_lb[:nb]
+                lane_exact = self._lane_exact[:nb]
+            else:
+                lane_lb = objv[:nb]
+                lane_exact = np.ones(nb, dtype=bool)
             bounds = np.where(
-                obj_int_arr, np.ceil(objv[:nb] - INT_TOL), objv[:nb]
+                obj_int_arr, np.ceil(lane_lb - INT_TOL), lane_lb
             )
             if self.int_idx.size:
                 xi = xs[:nb][:, self.int_idx]
@@ -564,10 +585,67 @@ class WaveLexBackend:
                 if bounds[i] >= task.best - eps_i:
                     continue
                 if frmaxs[i] <= INT_TOL:
-                    if objv[i] < task.best - INT_TOL:
-                        task.best = objv[i]
-                        task.best_x = xs[i].copy()
-                    continue
+                    # integral leaf.  For certified (non-exact) lanes the
+                    # value objv is the claimed vertex's — validate the
+                    # rounded candidate exactly in f64 before adopting, and
+                    # close the node only if its rigorous bound proves no
+                    # strictly better point exists in it; otherwise fall
+                    # through to an exact host re-solve of the lane.
+                    if lane_exact[i]:
+                        if objv[i] < task.best - INT_TOL:
+                            task.best = objv[i]
+                            task.best_x = xs[i].copy()
+                        continue
+                    from moip_aira_tpu.solver.heuristics import candidate_value
+
+                    glo = np.concatenate([self.problem.lb, task.llo])
+                    ghi = np.concatenate([self.problem.ub, task.lhi])
+                    cand = xs[i].copy()
+                    if self.int_idx.size:
+                        cand[self.int_idx] = np.rint(cand[self.int_idx])
+                    v = candidate_value(
+                        self._A_full, task.c_struct, glo, ghi, cand
+                    )
+                    if v is not None:
+                        if v < task.best - INT_TOL:
+                            task.best = v
+                            task.best_x = cand.copy()
+                        if bounds[i] >= v - eps_i:
+                            continue  # node closed: nothing in it beats v
+                    # validation failed or bound too weak to close the node:
+                    # the exact host LP settles it
+                    r = self._host_exact_lp(
+                        c_buf[i, : self.n], lo_buf[i], hi_buf[i],
+                        self._wave_basis[i], self._wave_atup[i],
+                    )
+                    self._cert_fix_ok[i] = False
+                    if r.status == SolveStatus.INFEASIBLE:
+                        continue
+                    if r.status != SolveStatus.OPTIMAL:
+                        task.failed = True
+                        task.nodes.clear()
+                        continue
+                    objv[i] = r.obj
+                    xs[i] = r.x
+                    bounds[i] = (
+                        np.ceil(r.obj - INT_TOL) if task.obj_int else r.obj
+                    )
+                    if bounds[i] >= task.best - eps_i:
+                        continue
+                    if self.int_idx.size:
+                        xi_i = r.x[self.int_idx]
+                        fr_i = np.abs(xi_i - np.rint(xi_i))
+                        jm = int(np.argmax(fr_i))
+                        frmaxs[i] = fr_i[jm]
+                        jlocs[i] = self.int_idx[jm]
+                        fls[i] = np.floor(r.x[jlocs[i]] + INT_TOL)
+                    if frmaxs[i] <= INT_TOL:
+                        # exact LP optimum is integral: node optimum found
+                        if objv[i] < task.best - INT_TOL:
+                            task.best = objv[i]
+                            task.best_x = xs[i].copy()
+                        continue
+                    # else: fall through and branch on the exact solution
 
                 # rounding + local-search heuristic (budgeted per MIP)
                 if task.ls_budget > 0 and self.int_idx.size:
@@ -600,7 +678,14 @@ class WaveLexBackend:
                             ):
                                 continue
 
-                # reduced-cost fixing from the exact certificate
+                # reduced-cost fixing — rigorous version (verify.py model):
+                # with y the certificate's dual vector, ANY feasible z with
+                # integer z_j moved off its bound by >= 1 has
+                #   c.z >= dual_lb + max(0, d_j -+ E_j)
+                # so the fix is sound iff dual_lb + gain clears the cutoff.
+                # Uses dual_lb (never objv) and the d +- d_err envelope;
+                # only where _cert_fix_ok (dual_lb and d come from the SAME
+                # y — host-resolved lanes have stale d rows).
                 child_lo = nlo
                 child_hi = nhi
                 cert = getattr(self, "_last_cert", None)
@@ -608,29 +693,32 @@ class WaveLexBackend:
                     task.fix_d
                     and cert is not None
                     and cert.d is not None
+                    and cert.d_err is not None
                     and getattr(self, "_cert_fix_ok", None) is not None
                     and self._cert_fix_ok[i]
                     and np.isfinite(task.best)
+                    and np.isfinite(lane_lb[i])
                 ):
                     margin = (
                         task.best
                         - (1.0 if task.obj_int else 0.0)
-                        - objv[i]
+                        - lane_lb[i]
                         + INT_TOL
                     )
                     if np.isfinite(margin):
                         dx = cert.d[i][self.int_idx]
+                        ex = cert.d_err[i][self.int_idx]
                         nbm = ~cert.in_basis[i][self.int_idx]
                         upm = cert.at_upper[i][self.int_idx]
-                        f_lo = nbm & ~upm & (dx > margin)
-                        f_hi = nbm & upm & (-dx > margin)
+                        f_lo = nbm & ~upm & (dx - ex > margin)
+                        f_hi = nbm & upm & (-dx - ex > margin)
                         if f_lo.any() or f_hi.any():
                             child_lo = nlo.copy()
                             child_hi = nhi.copy()
-                            ids = self.int_idx[f_lo | f_hi]
-                            vals = np.rint(xs[i][ids])
-                            child_lo[ids] = vals
-                            child_hi[ids] = vals
+                            ids_lo = self.int_idx[f_lo]
+                            ids_hi = self.int_idx[f_hi]
+                            child_hi[ids_lo] = nlo[ids_lo]
+                            child_lo[ids_hi] = nhi[ids_hi]
 
                 jloc = int(jlocs[i])
                 fl = fls[i]
@@ -655,6 +743,9 @@ class WaveLexBackend:
     def _advance_pool(self, pool: List[_StageTask], state) -> List[_StageTask]:
         """Finish tasks whose stacks drained; start their next stages."""
         reqs, results, ips, infeasible, srhs_by_req, perms, xwarm_by_req = state
+        import os as _os
+
+        audit = _os.environ.get("MOIP_WAVE_LOG")
         still: List[_StageTask] = []
         for task in pool:
             if (task.nodes and not task.failed) or task.inflight > 0:
@@ -662,6 +753,16 @@ class WaveLexBackend:
                 continue
             ri = task.req_idx
             ips[ri] += 1
+            if audit:
+                with open(audit, "a") as fh:
+                    fh.write(
+                        f'{{"rhs": {list(map(float, srhs_by_req[ri]))}, '
+                        f'"perm": {perms[ri]}, "stage": {task.stage}, '
+                        f'"obj_j": {task.obj_j}, '
+                        f'"failed": {str(task.failed).lower()}, '
+                        f'"best": {float(task.best)}, '
+                        f'"nodes": {task.node_count}}}\n'
+                    )
             if task.failed:
                 # exact host fallback for the whole request
                 fb = self._fallback.lex_solve(reqs[ri])
