@@ -564,10 +564,36 @@ class WaveLexBackend:
                 frmaxs = frs[lanes, jmaxs]
                 jlocs = self.int_idx[jmaxs]
                 fls = np.floor(xs[:nb][lanes, jlocs] + INT_TOL)
+                # batched rounding heuristic: ONE feasibility GEMM for every
+                # lane's rounded-and-clipped LP point (the per-lane
+                # candidate_value calls were the dominant host cost)
+                cands = xs[:nb].copy()
+                r_lo = np.stack([w[1] for w in wave])
+                r_hi = np.stack([w[2] for w in wave])
+                ii = self.int_idx
+                cands[:, ii] = np.clip(
+                    np.rint(cands[:, ii]), r_lo[:, ii], r_hi[:, ii]
+                )
+                acts = cands @ self._A_full.T  # (nb, m)
+                glo_l = np.stack([w[0].llo for w in wave])
+                ghi_l = np.stack([w[0].lhi for w in wave])
+                htol = 1e-7
+                cand_ok = (
+                    (cands >= self.problem.lb[None, :] - htol)
+                    & (cands <= self.problem.ub[None, :] + htol)
+                ).all(axis=1) & (
+                    (acts >= glo_l - htol) & (acts <= ghi_l + htol)
+                ).all(axis=1)
+                c_structs = np.stack([w[0].c_struct for w in wave])
+                cand_vals = np.where(
+                    cand_ok, np.einsum("ln,ln->l", cands, c_structs), np.inf
+                )
             else:
                 frmaxs = np.zeros(nb)
                 jlocs = np.zeros(nb, dtype=np.int64)
                 fls = np.zeros(nb)
+                cand_ok = np.zeros(nb, dtype=bool)
+                cand_vals = np.full(nb, np.inf)
             for i, (task, nlo, nhi, _wb, _wa, _pb) in enumerate(wave):
                 task.node_count += 1
                 task.inflight -= 1
@@ -596,20 +622,11 @@ class WaveLexBackend:
                             task.best = objv[i]
                             task.best_x = xs[i].copy()
                         continue
-                    from moip_aira_tpu.solver.heuristics import candidate_value
-
-                    glo = np.concatenate([self.problem.lb, task.llo])
-                    ghi = np.concatenate([self.problem.ub, task.lhi])
-                    cand = xs[i].copy()
-                    if self.int_idx.size:
-                        cand[self.int_idx] = np.rint(cand[self.int_idx])
-                    v = candidate_value(
-                        self._A_full, task.c_struct, glo, ghi, cand
-                    )
-                    if v is not None:
+                    if cand_ok[i]:
+                        v = cand_vals[i]
                         if v < task.best - INT_TOL:
                             task.best = v
-                            task.best_x = cand.copy()
+                            task.best_x = cands[i].copy()
                         if bounds[i] >= v - eps_i:
                             continue  # node closed: nothing in it beats v
                     # validation failed or bound too weak to close the node:
@@ -647,36 +664,34 @@ class WaveLexBackend:
                         continue
                     # else: fall through and branch on the exact solution
 
-                # rounding + local-search heuristic (budgeted per MIP)
-                if task.ls_budget > 0 and self.int_idx.size:
-                    from moip_aira_tpu.solver.heuristics import (
-                        candidate_value,
-                        local_search,
-                    )
+                # rounding + local-search heuristic (budgeted per MIP).
+                # The rounded candidate is adopted whenever it improves the
+                # incumbent (already validated in the batched pass above);
+                # the 1-swap polish only runs when that adoption happened —
+                # polishing non-improving candidates was measured as the
+                # single largest host cost on small-instance workloads.
+                if cand_ok[i] and self.int_idx.size:
+                    v = cand_vals[i]
+                    if v < task.best - INT_TOL:
+                        task.best = v
+                        task.best_x = cands[i].copy()
+                        if task.ls_budget > 0:
+                            from moip_aira_tpu.solver.heuristics import local_search
 
-                    glo = np.concatenate([self.problem.lb, task.llo])
-                    ghi = np.concatenate([self.problem.ub, task.lhi])
-                    cand = xs[i].copy()
-                    cand[self.int_idx] = np.clip(
-                        np.rint(cand[self.int_idx]), nlo[self.int_idx],
-                        nhi[self.int_idx],
-                    )
-                    v = candidate_value(
-                        self._A_full, task.c_struct, glo, ghi, cand
-                    )
-                    if v is not None:
-                        task.ls_budget -= 1
-                        cand, v = local_search(
-                            self._A_full, task.c_struct, glo, ghi, cand,
-                            self.int_idx,
-                        )
-                        if v < task.best - INT_TOL:
-                            task.best = v
-                            task.best_x = cand.copy()
-                            if bounds[i] >= task.best - (
-                                INT_TOL if task.obj_int else 1e-9
-                            ):
-                                continue
+                            task.ls_budget -= 1
+                            glo = np.concatenate([self.problem.lb, task.llo])
+                            ghi = np.concatenate([self.problem.ub, task.lhi])
+                            cand, v = local_search(
+                                self._A_full, task.c_struct, glo, ghi,
+                                cands[i].copy(), self.int_idx,
+                            )
+                            if v < task.best - INT_TOL:
+                                task.best = v
+                                task.best_x = cand.copy()
+                        if bounds[i] >= task.best - (
+                            INT_TOL if task.obj_int else 1e-9
+                        ):
+                            continue
 
                 # reduced-cost fixing — rigorous version (verify.py model):
                 # with y the certificate's dual vector, ANY feasible z with

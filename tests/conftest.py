@@ -29,6 +29,7 @@ import pytest
 os.environ.setdefault("MOIP_DP", "off")
 
 EXAMPLES = "/root/reference/Examples"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def pytest_configure(config):

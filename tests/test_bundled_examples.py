@@ -126,3 +126,52 @@ def test_generated_2ap08_modes_agree(tmp_path):
     assert a.solution_count == 15
     assert (a.points == b.points).all()
     assert (a.points == c.points).all()
+
+
+@pytest.mark.slow
+def test_bundled_2kp100_dp_golden():
+    """2KP100 — the reference's mid-size knapsack workload class
+    (1701.08920 Timing.ods; VERDICT r1 gap #1).  The bundled golden was
+    produced by the jax DP engine and independently re-verified by the
+    numpy DP oracle; here the jax DP (CPU) must reproduce it."""
+    from moip_aira_tpu.solver import kp_front as kf
+
+    p = read_problem(f"{EX}/2KP100.lp")
+    kp = kf.detect_kp2(p)
+    assert kp is not None
+    expect = bundled_front("2KP100")
+    assert expect.shape == (77, 2)
+    got = kf.front_jax(kp)
+    assert np.array_equal(got, expect)
+
+
+@pytest.mark.slow
+def test_2ap40_dominated_point_regression():
+    """The exact lex request that produced a dominated point on 2AP40
+    (wave/pallas_rev/warm_start on TPU; solve_lp tableau-drift bug): the
+    wave backend running the REAL Mosaic kernel (interpret mode on CPU)
+    with warm starts must agree with the numpy oracle."""
+    from moip_aira_tpu.solver.lex import LexRequest, NumpyLexBackend
+    from moip_aira_tpu.solver.wave import WaveLexBackend
+
+    p = read_problem(f"{EX}/2AP40.lp")
+    req = LexRequest(rhs=np.array([278.0, 16.0]), perm=(1, 0))
+    be = WaveLexBackend(p, engine="pallas_rev", warm_start=True)
+    out = be.lex_solve_batch([req])[0]
+    want = NumpyLexBackend(p).lex_solve(req)
+    assert np.array_equal(out.result, want.result)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MOIP_RUN_TPU"),
+    reason="full 2AP40 front on the real chip; set MOIP_RUN_TPU=1",
+)
+def test_bundled_2ap40_wave_tpu_golden():
+    """Full 2AP40 enumeration on the real TPU (the reference's headline
+    workload size, Timing.ods row 1): wave backend front must equal the
+    bundled golden (numpy-oracle-verified, 108 points)."""
+    p = read_problem(f"{EX}/2AP40.lp")
+    front = solve_front(p, n_workers=2, backend="wave")
+    expect = bundled_front("2AP40")
+    assert front.points.shape == expect.shape
+    assert (front.points == expect).all()

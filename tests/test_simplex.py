@@ -216,3 +216,35 @@ def test_certificate_rejects_at_upper_with_infinite_bound():
     at_upper = np.array([[True, True, False]])  # bogus: hi = inf
     cert = v.certify(c, lo, hi, status, basis, at_upper)
     assert not cert.ok[0]
+
+
+def test_warm_start_drift_regression():
+    """Captured from a real failure: a garbage f32 device basis (TPU
+    pallas_rev kernel mid-phase-1 state) warm-started ~7k pivots whose
+    rank-1 tableau updates drifted until phase-1 declared this feasible
+    2AP40 node LP INFEASIBLE — which pruned the node holding the true
+    stage optimum and emitted a dominated point.  solve_lp must now reach
+    the exact optimum (259) from this warm basis: the competitive
+    warm/cold start rejects the garbage basis, and refactor-verified
+    termination would catch the drift even if it were accepted."""
+    import os
+
+    from moip_aira_tpu.io import read_problem
+
+    data = np.load(
+        os.path.join(os.path.dirname(__file__), "data",
+                     "simplex_warm_drift_2ap40.npz")
+    )
+    from conftest import REPO
+
+    p = read_problem(os.path.join(REPO, "examples", "2AP40.lp"))
+    ws = SimplexWorkspace(np.vstack([p.A, p.C]))
+    r_warm = solve_lp(
+        ws, data["c"], data["lo"], data["hi"],
+        warm_basis=data["wb"], warm_at_upper=data["wa"],
+    )
+    r_cold = solve_lp(ws, data["c"], data["lo"], data["hi"])
+    assert r_cold.status == SolveStatus.OPTIMAL
+    assert r_warm.status == SolveStatus.OPTIMAL
+    assert abs(r_cold.obj - 259.0) < 1e-6
+    assert abs(r_warm.obj - r_cold.obj) < 1e-6
