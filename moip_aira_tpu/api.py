@@ -47,7 +47,13 @@ def make_backend(
 ):
     """``solver_threads`` mirrors the reference's `-c` knob (CPLEX-internal
     threads per worker, aira.cpp:236-239): here it scales the number of
-    branch-and-bound nodes each MIP contributes to a device wave."""
+    branch-and-bound nodes each MIP contributes to a device wave.
+
+    ``backend`` may also be an already-constructed backend instance
+    (anything with ``lex_solve_batch``) — used by tests and power users to
+    pass non-default backend knobs (e.g. WaveLexBackend(fragments=True))."""
+    if not isinstance(backend, str):
+        return backend
     mesh = None
     if mesh_devices:
         from moip_aira_tpu.parallel.mesh import make_mesh

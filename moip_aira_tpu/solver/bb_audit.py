@@ -73,7 +73,9 @@ def replay_lane(
     node_hi = np.empty((nlog, nvar))
     # stack entries: [j, fl, old_lo, old_hi, down_first, state, parent_rec]
     stack: List[list] = []
-    pending = nlog > 0  # root pending before the first record
+    # the root is entered before the first record; if the lane stopped with
+    # NO records (tick limit mid-first-LP) the root itself is still open
+    pending = True
     for t in range(nlog):
         node_lo[t] = lo
         node_hi[t] = hi

@@ -109,6 +109,9 @@ class WaveLexBackend:
         engine: str = "auto",
         mesh=None,
         warm_start="auto",
+        fragments="auto",
+        frag_nodes: int = 32,
+        frag_depth: int = 128,
     ):
         jax.config.update("jax_enable_x64", True)
         _enable_persistent_cache()
@@ -250,6 +253,9 @@ class WaveLexBackend:
             self.device_waves = 0
             self.lp_count = 0
             self._fallback = NumpyLexBackend(problem)
+            self._init_fragments(
+                W_np, fragments, frag_nodes, frag_depth, _interp
+            )
             return
         if self.f32:
             # fast on-device arithmetic; every result certified in f64 below
@@ -300,6 +306,44 @@ class WaveLexBackend:
         self.device_waves = 0
         self.lp_count = 0
         self._fallback = NumpyLexBackend(problem)
+        try:
+            _interp = jax.devices()[0].platform not in ("tpu", "axon")
+        except Exception:
+            _interp = True
+        self._init_fragments(W_np, fragments, frag_nodes, frag_depth, _interp)
+
+    def _init_fragments(self, W_np, fragments, frag_nodes, frag_depth, interp):
+        """Build the in-kernel B&B fragment solver (solver/pallas_bb.py).
+
+        ``fragments='auto'`` enables whole-subtree device residency on real
+        TPUs (where the ~28 ms/call tunnel latency makes per-LP waves
+        latency-bound on deep trees); CPU keeps per-LP waves — the Mosaic
+        interpreter is too slow for production fragments, tests opt in
+        explicitly.  Under a mesh the LP wave path owns the collective
+        sharding, so fragments stay off unless forced.
+        """
+        if fragments == "auto":
+            fragments = (not interp) and self.mesh is None
+        self.fragments = bool(fragments)
+        self.frag_stats = {"records": 0, "host_recs": 0, "reopened": 0}
+        if not self.fragments:
+            return
+        from moip_aira_tpu.solver.pallas_bb import make_pallas_bb_batch
+
+        if self._verifier is None:
+            from moip_aira_tpu.solver.verify import LPVerifier
+
+            self._verifier = LPVerifier(np.asarray(W_np, dtype=np.float64))
+        self._frag_F = frag_nodes
+        self.frag_batch = self.batch_width
+        self._frag_fn, self._frag_meta = make_pallas_bb_batch(
+            np.asarray(W_np, dtype=np.float32),
+            np.asarray(self.problem.is_int, dtype=np.float32),
+            self.frag_batch,
+            F=frag_nodes,
+            D=frag_depth,
+            interpret=interp,
+        )
 
     # -- stage plumbing ----------------------------------------------------
     def _stage_task(self, req_idx, stage, perm, srhs, x_warm=None) -> _StageTask:
@@ -421,6 +465,8 @@ class WaveLexBackend:
         The device call is NOT waited on — the caller can overlap host work
         (completing another pool's wave) with this one's device time.
         """
+        if self.fragments:
+            return self._submit_frag_wave(active)
         B = self.batch_width
         nc = self.n + self.m
         wave: List = []  # (task, node_lo, node_hi, warm_basis, warm_atup)
@@ -512,6 +558,8 @@ class WaveLexBackend:
 
     def _complete_wave(self, submitted, state) -> None:
         """Fetch, certify and branch-process one in-flight wave."""
+        if self.fragments:
+            return self._complete_frag_wave(submitted)
         wave, nb, c_buf, lo_buf, hi_buf, out = submitted
         from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
@@ -754,6 +802,290 @@ class WaveLexBackend:
                 else:
                     task.nodes.append((up_lo, child_hi, cb, ca, pb))
                     task.nodes.append((child_lo, dn_hi, cb, ca, pb))
+
+    # -- fragment waves (whole B&B subtrees per device call) -----------------
+    def _submit_frag_wave(self, active: List[_StageTask]):
+        """Gather open nodes as FRAGMENT ROOTS — each lane runs a whole
+        depth-first B&B subtree on the device (solver/pallas_bb.py) instead
+        of a single LP relaxation, so a deep tree pays one tunnel round trip
+        per ~frag_nodes nodes instead of one per tree level.  Same contract
+        as _submit_wave: returns an un-waited async device call."""
+        B = self.frag_batch
+        nc = self.n + self.m
+        wave: List = []  # (task, root_lo, root_hi, parent_bound)
+        n_active = sum(1 for t_ in active if t_.nodes)
+        quota = max(self.nodes_per_task, B // max(1, n_active))
+        for task in active:
+            take = 0
+            eps_t = INT_TOL if task.obj_int else 1e-9
+            while take < quota and task.nodes and len(wave) < B:
+                node = task.nodes.pop()
+                if node[4] >= task.best - eps_t:
+                    continue  # incumbent improved since this node was made
+                wave.append((task, node[0], node[1], node[4]))
+                take += 1
+            task.inflight += take
+            if len(wave) >= B:
+                break
+        nb = len(wave)
+        if nb == 0:
+            return None
+        c_buf = np.zeros((B, nc), dtype=np.float32)
+        lo_buf = np.zeros((B, nc), dtype=np.float32)
+        hi_buf = np.zeros((B, nc), dtype=np.float32)
+        par = np.zeros((B, 4), dtype=np.float32)
+        for i, (task, nlo, nhi, _pb) in enumerate(wave):
+            c_buf[i] = task.cvec
+            lo_buf[i, : self.n] = nlo
+            lo_buf[i, self.n :] = task.llo
+            hi_buf[i, : self.n] = nhi
+            hi_buf[i, self.n :] = task.lhi
+            par[i, 0] = task.best
+            par[i, 1] = 1.0 if task.obj_int else 0.0
+            par[i, 2] = float(self._frag_F)
+            par[i, 3] = 1.0
+        # inactive padding lanes (par[:,3]=0) exit at tick 0
+        with jax.enable_x64(False):
+            out = self._frag_fn(c_buf, lo_buf, hi_buf, par)
+        return wave, nb, out
+
+    def _complete_frag_wave(self, submitted) -> None:
+        """Fetch one fragment wave and restore exactness (bb_audit):
+
+        1. replay each lane's logged walk to the exact f64 node boxes,
+        2. certify EVERY logged node's LP claim rigorously in one batched
+           LPVerifier call (same soundness model as the per-LP wave path),
+        3. validate claimed integral leaves exactly before adopting them,
+        4. audit every closure against the validated incumbent — confirmed
+           prunes stay closed, anything unproven gets an exact host B&B
+           step, unexplored siblings/pending nodes go back on the stack.
+
+        No f32 decision survives unproven (CLAUDE.md exactness invariant).
+        """
+        from moip_aira_tpu.solver import bb_audit
+        from moip_aira_tpu.solver.heuristics import candidate_value
+        from moip_aira_tpu.solver.pallas_bb import (
+            ACT_BRANCH, ACT_LEAF, F_ACTION, F_FL, F_J, F_STATUS,
+        )
+        from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
+
+        wave, nb, out = submitted
+        with GLOBAL_TIMINGS.span("wave.device_frag"):
+            # ONE device->host transfer for all outputs (tunnel latency)
+            nlog_d, lgs_d, lgb_d, lga_d = jax.device_get(
+                (out["nlog"], out["lg_scal"], out["lg_basis"], out["lg_atup"])
+            )
+        self.device_waves += 1
+        n, m = self.n, self.m
+        nc = n + m
+        nlog_d = np.asarray(nlog_d)
+        lgs_d = np.asarray(lgs_d, dtype=np.float64)
+        lgb_d = np.asarray(lgb_d)
+        atup_all = self._frag_meta["unpack_atup"](np.asarray(lga_d)[:nb])
+
+        # ---- 1. replay every lane's walk to exact node boxes ---------------
+        replays: List = []
+        lane_rows: List = []
+        R = 0
+        for i in range(nb):
+            task = wave[i][0]
+            nlog = int(nlog_d[i])
+            task.node_count += max(nlog, 1)
+            self.lp_count += nlog
+            rep = None
+            if not task.failed:
+                recs = lgs_d[i, :nlog]
+                sane = True
+                for t in range(nlog):
+                    if int(recs[t, F_ACTION]) == ACT_BRANCH:
+                        j, fl = recs[t, F_J], recs[t, F_FL]
+                        if not (
+                            np.isfinite(j) and 0 <= int(j) < n and np.isfinite(fl)
+                        ):
+                            sane = False
+                            break
+                if sane:
+                    rep = bb_audit.replay_lane(wave[i][1], wave[i][2], recs, nlog)
+                else:
+                    # corrupt f32 log (defensive; never observed): the whole
+                    # request falls back to the exact host path
+                    task.failed = True
+                    task.nodes.clear()
+            replays.append(rep)
+            rows = nlog if rep is not None else 0
+            lane_rows.append((R, R + rows))
+            R += rows
+        self.frag_stats["records"] += R
+
+        # ---- 2. one batched rigorous certification of all records ----------
+        leaf_okR = np.zeros(R, dtype=bool)
+        stR = np.zeros(R, dtype=np.int32)
+        cert = None
+        if R:
+            cR = np.zeros((R, nc))
+            loR = np.zeros((R, nc))
+            hiR = np.zeros((R, nc))
+            bR = np.zeros((R, m), dtype=np.int32)
+            auR = np.zeros((R, nc), dtype=bool)
+            for i in range(nb):
+                rep = replays[i]
+                if rep is None:
+                    continue
+                task = wave[i][0]
+                r0, r1 = lane_rows[i]
+                for t in range(r1 - r0):
+                    rr = r0 + t
+                    cR[rr] = task.cvec
+                    loR[rr, :n] = rep.node_lo[t]
+                    loR[rr, n:] = task.llo
+                    hiR[rr, :n] = rep.node_hi[t]
+                    hiR[rr, n:] = task.lhi
+                    stR[rr] = int(lgs_d[i, t, F_STATUS])
+                    # clip keeps a garbage basis id from crashing the
+                    # verifier; a wrong basis simply fails its certificate
+                    bR[rr] = np.clip(
+                        lgb_d[i, t, :m].astype(np.int32), 0, nc - 1
+                    )
+                    auR[rr] = atup_all[i, t] > 0
+            with GLOBAL_TIMINGS.span("wave.certify"):
+                cert = self._verifier.certify(cR, loR, hiR, stR, bR, auR)
+
+        # ---- 3. validate + adopt claimed leaves (exact f64) -----------------
+        glo_cache: Dict[int, tuple] = {}
+        for i in range(nb):
+            rep = replays[i]
+            if rep is None:
+                continue
+            task = wave[i][0]
+            r0, r1 = lane_rows[i]
+            for t in range(r1 - r0):
+                rr = r0 + t
+                if (
+                    int(lgs_d[i, t, F_ACTION]) != ACT_LEAF
+                    or not cert.ok[rr]
+                    or stR[rr] != sx.OPTIMAL
+                ):
+                    continue
+                x = cert.x[rr]
+                ii = self.int_idx
+                if ii.size and np.any(np.abs(x[ii] - np.rint(x[ii])) > 1e-6):
+                    continue  # f32 called it integral, f64 disagrees
+                cand = x.copy()
+                if ii.size:
+                    cand[ii] = np.rint(cand[ii])
+                key = id(task)
+                if key not in glo_cache:
+                    glo_cache[key] = (
+                        np.concatenate([self.problem.lb, task.llo]),
+                        np.concatenate([self.problem.ub, task.lhi]),
+                    )
+                glo, ghi = glo_cache[key]
+                v = candidate_value(self._A_full, task.c_struct, glo, ghi, cand)
+                if v is None:
+                    continue
+                leaf_okR[rr] = True
+                if v < task.best - INT_TOL:
+                    task.best = v
+                    task.best_x = cand.copy()
+
+        # ---- 4. audit closures; host-resolve failures; re-open siblings ----
+        for i in range(nb):
+            task, _root_lo, _root_hi, pb0 = wave[i]
+            task.inflight -= 1
+            rep = replays[i]
+            if task.failed or rep is None:
+                continue
+            if task.node_count > self.max_nodes:
+                task.failed = True
+                task.nodes.clear()
+                continue
+            r0, r1 = lane_rows[i]
+            nlog = r1 - r0
+            eps_t = INT_TOL if task.obj_int else 1e-9
+            if nlog == 0:
+                # tick limit mid-first-LP: guarantee progress with one exact
+                # host B&B step on the root (replay leaves it open)
+                for olo, ohi, _prec in rep.open_nodes:
+                    self._host_resolve_node(task, olo, ohi)
+                    if task.failed:
+                        break
+                continue
+            audit = bb_audit.audit_records(
+                lgs_d[i, :nlog],
+                cert.dual_bound[r0:r1],
+                leaf_okR[r0:r1],
+                (rep.node_lo > rep.node_hi).any(axis=1),
+                task.best,
+                task.obj_int,
+            )
+            self.frag_stats["host_recs"] += len(audit.host_recs)
+            for t in audit.host_recs:
+                if task.failed:
+                    break
+                self._host_resolve_node(
+                    task,
+                    rep.node_lo[t],
+                    rep.node_hi[t],
+                    warm_basis=np.clip(lgb_d[i, t, :m].astype(np.int32), 0, nc - 1),
+                    warm_atup=atup_all[i, t] > 0,
+                )
+            if task.failed:
+                continue
+            for olo, ohi, prec in rep.open_nodes:
+                # the parent's rigorous bound transfers to its children
+                pb = float(audit.rec_pb[prec]) if prec >= 0 else float(pb0)
+                if pb >= task.best - eps_t:
+                    continue
+                task.nodes.append((olo, ohi, None, None, pb))
+                self.frag_stats["reopened"] += 1
+
+    def _host_resolve_node(self, task, nlo, nhi, warm_basis=None, warm_atup=None):
+        """One exact host B&B step on a node whose device closure failed
+        rigor: exact f64 LP → certified prune / exact leaf / branch (children
+        go back on the task stack).  Everything here is f64, so the step is
+        sound on its own; repeated application terminates because every
+        branch strictly shrinks an integer box."""
+        lo = np.concatenate([nlo, task.llo])
+        hi = np.concatenate([nhi, task.lhi])
+        eps_t = INT_TOL if task.obj_int else 1e-9
+        r = self._host_exact_lp(
+            task.cvec[: self.n], lo, hi, warm_basis, warm_atup
+        )
+        if r.status == SolveStatus.INFEASIBLE:
+            return
+        if r.status != SolveStatus.OPTIMAL:
+            task.failed = True
+            task.nodes.clear()
+            return
+        bound = np.ceil(r.obj - INT_TOL) if task.obj_int else r.obj
+        if bound >= task.best - eps_t:
+            return
+        ii = self.int_idx
+        if ii.size:
+            fr = np.abs(r.x[ii] - np.rint(r.x[ii]))
+            jm = int(np.argmax(fr))
+            frmax, jloc = fr[jm], int(ii[jm])
+        else:
+            frmax, jloc = 0.0, 0
+        if frmax <= INT_TOL:
+            if r.obj < task.best - INT_TOL:
+                task.best = r.obj
+                task.best_x = r.x.copy()
+            return
+        fl = np.floor(r.x[jloc] + INT_TOL)
+        up_lo = np.asarray(nlo, dtype=np.float64).copy()
+        up_lo[jloc] = fl + 1
+        dn_hi = np.asarray(nhi, dtype=np.float64).copy()
+        dn_hi[jloc] = fl
+        pb = float(bound)
+        dn = (np.asarray(nlo, dtype=np.float64).copy(), dn_hi, None, None, pb)
+        up = (up_lo, np.asarray(nhi, dtype=np.float64).copy(), None, None, pb)
+        if r.x[jloc] - fl > 0.5:  # DFS toward the LP value: nearer child on top
+            task.nodes.append(dn)
+            task.nodes.append(up)
+        else:
+            task.nodes.append(up)
+            task.nodes.append(dn)
 
     def _advance_pool(self, pool: List[_StageTask], state) -> List[_StageTask]:
         """Finish tasks whose stacks drained; start their next stages."""
