@@ -167,11 +167,24 @@ def aira_worker(
                     infcnt = 0
                     inflast = False
             elif sharing and t.locks[perm[infcnt + 1]] is not None:
-                # locked partner exchange (aira.cpp:923-1107)
+                # Locked partner exchange — a statement-level transcription
+                # of aira.cpp:923-1107 (the whole block runs under
+                # locks[perm(infcnt+1)]->status_mutex there; here the
+                # bulk-synchronous scheduler serialises workers, so the
+                # cells need no mutex).  Oddities below are the REFERENCE'S
+                # semantics, kept for front/ipcount parity — each sub-block
+                # cites its source lines.
+                #
+                # (1) publish this result's perm[1] value to the partner
+                #     ("faster update" comment, aira.cpp:932-945)
                 if not infeasible and k > 1:
                     cell = t.share_to[perm[1]]
                     if cell is not None:
                         cell.value = float(res[perm[1]])
+                # (2) bail-out check (aira.cpp:946-1027): if the partner's
+                #     published first bound already covers our perm[0] value,
+                #     pretend infeasible to backtrack; if the partner also
+                #     found_any, reset to a depth-1 walk (aira.cpp:975-981).
                 first_cell = t.share_from[perm[0]]
                 if not infeasible and first_cell is not None:
                     covered = (
@@ -180,6 +193,10 @@ def aira_worker(
                         else res[perm[0]] <= first_cell.value
                     )
                     if covered:
+                        # note: infcnt may be reset to 0 HERE; later reads
+                        # of locks[perm[infcnt+1]] intentionally use the
+                        # new value, exactly as the reference re-evaluates
+                        # t->perm(infcnt+1) at aira.cpp:1030/1060
                         lv = t.locks[perm[infcnt + 1]]
                         if lv is not None and lv.found_any:
                             infcnt = 0
@@ -187,8 +204,14 @@ def aira_worker(
                             depth_level = 1
                             depth = perm[depth_level]
                         infeasible = True
+                    # max/min update runs even on the covered path — the
+                    # reference's own "Duplicate code as we are marking
+                    # this result infeasible" block (aira.cpp:1015-1027)
                     np.maximum(max_, res, out=max_)
                     np.minimum(min_, res, out=min_)
+                # (3) feasible: raise found_any for the partner and update
+                #     max/min AGAIN (aira.cpp:1028-1057 repeats the update;
+                #     harmless — max/min are idempotent monotone folds)
                 if not infeasible:
                     lv = t.locks[perm[infcnt + 1]]
                     if lv is not None:
@@ -197,6 +220,10 @@ def aira_worker(
                     inflast = False
                     np.maximum(max_, res, out=max_)
                     np.minimum(min_, res, out=min_)
+                # (4) infeasible epilogue (aira.cpp:1058-1082): a partner
+                #     find resets the infeasibility streak before counting
+                #     this one; perm[infcnt+1] again reflects any reset
+                #     from (2), as in the reference
                 if infeasible:
                     lv = t.locks[perm[infcnt + 1]]
                     if lv is not None and lv.found_any:
