@@ -336,12 +336,18 @@ class WaveLexBackend:
             self._verifier = LPVerifier(np.asarray(W_np, dtype=np.float64))
         self._frag_F = frag_nodes
         self.frag_batch = self.batch_width
+        # tick budget: a cold LP needs ~2-4m pivots, so give each of the F
+        # nodes ~6m ticks (plus the 8192 floor the small shapes used);
+        # lanes that still run out are re-opened by the audit — ticks only
+        # bound one device call's duration, not correctness
+        max_ticks = max(8192, frag_nodes * 6 * self.m)
         self._frag_fn, self._frag_meta = make_pallas_bb_batch(
             np.asarray(W_np, dtype=np.float32),
             np.asarray(self.problem.is_int, dtype=np.float32),
             self.frag_batch,
             F=frag_nodes,
             D=frag_depth,
+            max_ticks=max_ticks,
             interpret=interp,
         )
 
