@@ -205,58 +205,73 @@ class LPVerifier:
         free_cols = ~finite_lo & ~finite_hi  # (b, nc)
         row_free = free_cols[:, n:]  # (b, m) — logical j <-> row j
 
-        # ---- optimality certificates ---------------------------------------
-        cB = np.take_along_axis(c[idx], basis_i, axis=1)  # (b, m)
-        y, solvable_T = _batch_solve(Bmats.transpose(0, 2, 1), cB)
-        y = np.where(row_free, 0.0, y)
-        # clean solve noise: true duals of non-binding rows are exactly 0,
-        # but the f64 solve leaves ~1e-13 residue that would make the
-        # one-side-infinite logical columns sign-indefinite (and the bound
-        # -inf).  Zeroing tiny components is valid — ANY y gives a bound —
-        # and costs at most tau * (row range) of tightness.
-        tau = 1e-10 * (1.0 + np.abs(y).max(axis=1, keepdims=True))
-        y = np.where(np.abs(y) <= tau, 0.0, y)
-        d, E = self._d_with_err(y, c[idx])
-        at_lo_nb = ~in_basis & ~at_upper[idx] & finite_lo
-        at_hi_nb = ~in_basis & (at_upper[idx] | (~finite_lo & finite_hi))
-        free_nb = ~in_basis & free_cols
-        # soundness: a nonbasic column flagged "at upper" with an INFINITE
-        # upper bound is an invalid solver state — rejecting it is what kept
-        # the inf-bound pivot-row bug (pallas_lp history) from silently
-        # certifying wrong optima
-        bogus_state = (~in_basis) & at_upper[idx] & ~finite_hi
-        opt_ok = (
-            np.where(at_lo_nb, d >= -CERT_TOL, True).all(axis=1)
-            & np.where(at_hi_nb & finite_hi, d <= CERT_TOL, True).all(axis=1)
-            & np.where(free_nb, np.abs(d) <= CERT_TOL, True).all(axis=1)
-            & ~bogus_state.any(axis=1)
-            & feas
-            & solvable_T
-        )
-        # rigorous any-y lower bound (valid even where opt_ok is False)
-        lb = np.where(
-            solvable_T,
-            self._box_min(d, E, lo_i, hi_i, finite_lo, finite_hi),
-            -np.inf,
-        )
-
-        # ---- infeasibility certificates (Farkas from the phase-1 basis) ----
-        below = xB < np.take_along_axis(lo_i, basis_i, axis=1) - 1e-9
-        above = xB > np.take_along_axis(hi_i, basis_i, axis=1) + 1e-9
-        c1B = np.where(below, -1.0, np.where(above, 1.0, 0.0))
-        y1, s1 = _batch_solve(Bmats.transpose(0, 2, 1), c1B)
-        y1 = np.where(row_free, 0.0, y1)
-        tau1 = 1e-10 * (1.0 + np.abs(y1).max(axis=1, keepdims=True))
-        y1 = np.where(np.abs(y1) <= tau1, 0.0, y1)
-        a, E1 = self._d_with_err(y1)
-        a = -a  # _d_with_err returns -(y1 @ W); the Farkas row is +y1.W
-        sup = self._box_max(a, E1, lo_i, hi_i, finite_lo, finite_hi)
-        # a.z = 0 for every feasible z, so sup < 0 (outward-rounded) proves
-        # the box empty — no tolerance: the interval makes it rigorous
-        inf_ok = (sup < 0.0) & s1 & solvable
-
         cl_opt = claim_opt[idx]
-        ok_i = np.where(cl_opt, opt_ok, inf_ok)
+        so = np.flatnonzero(cl_opt)  # OPTIMAL claims, within idx
+        sf = np.flatnonzero(~cl_opt)  # INFEASIBLE claims, within idx
+        ok_i = np.zeros(len(idx), dtype=bool)
+        lb = np.full(len(idx), -np.inf)
+        d = np.zeros((len(idx), nc))
+        E = np.zeros((len(idx), nc))
+
+        # ---- optimality certificates (OPTIMAL claims only) -----------------
+        if so.size:
+            cB = np.take_along_axis(c[idx[so]], basis_i[so], axis=1)
+            y, solvable_T = _batch_solve(Bmats[so].transpose(0, 2, 1), cB)
+            y = np.where(row_free[so], 0.0, y)
+            # clean solve noise: true duals of non-binding rows are exactly
+            # 0, but the f64 solve leaves ~1e-13 residue that would make the
+            # one-side-infinite logical columns sign-indefinite (and the
+            # bound -inf).  Zeroing tiny components is valid — ANY y gives a
+            # bound — and costs at most tau * (row range) of tightness.
+            tau = 1e-10 * (1.0 + np.abs(y).max(axis=1, keepdims=True))
+            y = np.where(np.abs(y) <= tau, 0.0, y)
+            d_o, E_o = self._d_with_err(y, c[idx[so]])
+            d[so] = d_o
+            E[so] = E_o
+            inb_o = in_basis[so]
+            atup_o = at_upper[idx[so]]
+            flo_o, fhi_o = finite_lo[so], finite_hi[so]
+            at_lo_nb = ~inb_o & ~atup_o & flo_o
+            at_hi_nb = ~inb_o & (atup_o | (~flo_o & fhi_o))
+            free_nb = ~inb_o & free_cols[so]
+            # soundness: a nonbasic column flagged "at upper" with an
+            # INFINITE upper bound is an invalid solver state — rejecting it
+            # is what kept the inf-bound pivot-row bug (pallas_lp history)
+            # from silently certifying wrong optima
+            bogus_state = ~inb_o & atup_o & ~fhi_o
+            ok_i[so] = (
+                np.where(at_lo_nb, d_o >= -CERT_TOL, True).all(axis=1)
+                & np.where(at_hi_nb & fhi_o, d_o <= CERT_TOL, True).all(axis=1)
+                & np.where(free_nb, np.abs(d_o) <= CERT_TOL, True).all(axis=1)
+                & ~bogus_state.any(axis=1)
+                & feas[so]
+                & solvable_T
+            )
+            # rigorous any-y lower bound (valid even where opt_ok is False)
+            lb[so] = np.where(
+                solvable_T,
+                self._box_min(d_o, E_o, lo_i[so], hi_i[so], flo_o, fhi_o),
+                -np.inf,
+            )
+
+        # ---- infeasibility certificates (INFEASIBLE claims only) -----------
+        if sf.size:
+            below = xB[sf] < np.take_along_axis(lo_i[sf], basis_i[sf], axis=1) - 1e-9
+            above = xB[sf] > np.take_along_axis(hi_i[sf], basis_i[sf], axis=1) + 1e-9
+            c1B = np.where(below, -1.0, np.where(above, 1.0, 0.0))
+            y1, s1 = _batch_solve(Bmats[sf].transpose(0, 2, 1), c1B)
+            y1 = np.where(row_free[sf], 0.0, y1)
+            tau1 = 1e-10 * (1.0 + np.abs(y1).max(axis=1, keepdims=True))
+            y1 = np.where(np.abs(y1) <= tau1, 0.0, y1)
+            a, E1 = self._d_with_err(y1)
+            a = -a  # _d_with_err returns -(y1 @ W); the Farkas row is +y1.W
+            sup = self._box_max(
+                a, E1, lo_i[sf], hi_i[sf], finite_lo[sf], finite_hi[sf]
+            )
+            # a.z = 0 for every feasible z, so sup < 0 (outward-rounded)
+            # proves the box empty — no tolerance: the interval is rigorous
+            ok_i[sf] = (sup < 0.0) & s1 & solvable[sf]
+
         ok[idx] = ok_i
         obj_i = (c[idx] * z).sum(axis=1)
         out_obj[idx] = np.where(cl_opt, obj_i, np.nan)
@@ -268,7 +283,7 @@ class LPVerifier:
         # dual_bound: +inf where infeasibility certified (empty node),
         # the any-y bound for optimality claims, -inf otherwise
         out_lb[idx] = np.where(
-            cl_opt, lb, np.where(inf_ok, np.inf, -np.inf)
+            cl_opt, lb, np.where(ok_i, np.inf, -np.inf)
         )
         return CertifiedBatch(
             ok, out_status, out_obj, out_x, out_d, out_atup, out_inb,

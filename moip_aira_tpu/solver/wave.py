@@ -871,7 +871,8 @@ class WaveLexBackend:
         from moip_aira_tpu.solver import bb_audit
         from moip_aira_tpu.solver.heuristics import candidate_value
         from moip_aira_tpu.solver.pallas_bb import (
-            ACT_BRANCH, ACT_LEAF, F_ACTION, F_FL, F_J, F_STATUS,
+            ACT_BRANCH, ACT_INFEAS, ACT_LEAF, ACT_PRUNE,
+            F_ACTION, F_FL, F_J, F_STATUS,
         )
         from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
@@ -901,15 +902,15 @@ class WaveLexBackend:
             rep = None
             if not task.failed:
                 recs = lgs_d[i, :nlog]
-                sane = True
-                for t in range(nlog):
-                    if int(recs[t, F_ACTION]) == ACT_BRANCH:
-                        j, fl = recs[t, F_J], recs[t, F_FL]
-                        if not (
-                            np.isfinite(j) and 0 <= int(j) < n and np.isfinite(fl)
-                        ):
-                            sane = False
-                            break
+                brm = recs[:, F_ACTION].astype(np.int32) == ACT_BRANCH
+                jv = recs[brm, F_J]
+                flv = recs[brm, F_FL]
+                sane = bool(
+                    np.isfinite(jv).all() and np.isfinite(flv).all()
+                ) and bool(
+                    jv.size == 0
+                    or ((jv >= 0) & (jv < n)).all()
+                )
                 if sane:
                     rep = bb_audit.replay_lane(wave[i][1], wave[i][2], recs, nlog)
                 else:
@@ -923,38 +924,65 @@ class WaveLexBackend:
             R += rows
         self.frag_stats["records"] += R
 
-        # ---- 2. one batched rigorous certification of all records ----------
+        # ---- 2. batched rigorous certification — load-bearing records ONLY.
+        # BRANCH never claims a closure (branching is unconditionally sound;
+        # its certificate would only sharpen the optional parent-bound
+        # submit filter) and ITERLIM is always host-resolved, so only
+        # PRUNE/LEAF/INFEAS records need certificates — typically half the
+        # log, and host certification is the fragment path's dominant cost.
         leaf_okR = np.zeros(R, dtype=bool)
         stR = np.zeros(R, dtype=np.int32)
+        actR = np.zeros(R, dtype=np.int32)
+        dualR = np.full(R, -np.inf)
+        okR = np.zeros(R, dtype=bool)
+        inv = np.full(R, -1, dtype=np.int64)
         cert = None
         if R:
-            cR = np.zeros((R, nc))
-            loR = np.zeros((R, nc))
-            hiR = np.zeros((R, nc))
-            bR = np.zeros((R, m), dtype=np.int32)
-            auR = np.zeros((R, nc), dtype=bool)
             for i in range(nb):
                 rep = replays[i]
                 if rep is None:
                     continue
-                task = wave[i][0]
                 r0, r1 = lane_rows[i]
-                for t in range(r1 - r0):
-                    rr = r0 + t
-                    cR[rr] = task.cvec
-                    loR[rr, :n] = rep.node_lo[t]
-                    loR[rr, n:] = task.llo
-                    hiR[rr, :n] = rep.node_hi[t]
-                    hiR[rr, n:] = task.lhi
-                    stR[rr] = int(lgs_d[i, t, F_STATUS])
+                actR[r0:r1] = lgs_d[i, : r1 - r0, F_ACTION].astype(np.int32)
+                stR[r0:r1] = lgs_d[i, : r1 - r0, F_STATUS].astype(np.int32)
+            need = (actR == ACT_PRUNE) | (actR == ACT_LEAF) | (actR == ACT_INFEAS)
+            sel = np.flatnonzero(need)
+            S = sel.size
+            inv[sel] = np.arange(S)
+            if S:
+                cS = np.zeros((S, nc))
+                loS = np.zeros((S, nc))
+                hiS = np.zeros((S, nc))
+                bS = np.zeros((S, m), dtype=np.int32)
+                auS = np.zeros((S, nc), dtype=bool)
+                for i in range(nb):
+                    rep = replays[i]
+                    if rep is None:
+                        continue
+                    task = wave[i][0]
+                    r0, r1 = lane_rows[i]
+                    pos = inv[r0:r1]
+                    tsel = np.flatnonzero(pos >= 0)
+                    if not tsel.size:
+                        continue
+                    ps = pos[tsel]
+                    cS[ps] = task.cvec
+                    loS[ps, :n] = rep.node_lo[tsel]
+                    loS[ps, n:] = task.llo
+                    hiS[ps, :n] = rep.node_hi[tsel]
+                    hiS[ps, n:] = task.lhi
                     # clip keeps a garbage basis id from crashing the
                     # verifier; a wrong basis simply fails its certificate
-                    bR[rr] = np.clip(
-                        lgb_d[i, t, :m].astype(np.int32), 0, nc - 1
+                    bS[ps] = np.clip(
+                        lgb_d[i][tsel][:, :m].astype(np.int32), 0, nc - 1
                     )
-                    auR[rr] = atup_all[i, t] > 0
-            with GLOBAL_TIMINGS.span("wave.certify"):
-                cert = self._verifier.certify(cR, loR, hiR, stR, bR, auR)
+                    auS[ps] = atup_all[i][tsel] > 0
+                with GLOBAL_TIMINGS.span("wave.certify"):
+                    cert = self._verifier.certify(
+                        cS, loS, hiS, stR[sel], bS, auS
+                    )
+                dualR[sel] = cert.dual_bound
+                okR[sel] = cert.ok
 
         # ---- 3. validate + adopt claimed leaves (exact f64) -----------------
         glo_cache: Dict[int, tuple] = {}
@@ -967,12 +995,12 @@ class WaveLexBackend:
             for t in range(r1 - r0):
                 rr = r0 + t
                 if (
-                    int(lgs_d[i, t, F_ACTION]) != ACT_LEAF
-                    or not cert.ok[rr]
+                    actR[rr] != ACT_LEAF
+                    or not okR[rr]
                     or stR[rr] != sx.OPTIMAL
                 ):
                     continue
-                x = cert.x[rr]
+                x = cert.x[inv[rr]]
                 ii = self.int_idx
                 if ii.size and np.any(np.abs(x[ii] - np.rint(x[ii])) > 1e-6):
                     continue  # f32 called it integral, f64 disagrees
@@ -1018,7 +1046,7 @@ class WaveLexBackend:
                 continue
             audit = bb_audit.audit_records(
                 lgs_d[i, :nlog],
-                cert.dual_bound[r0:r1],
+                dualR[r0:r1],
                 leaf_okR[r0:r1],
                 (rep.node_lo > rep.node_hi).any(axis=1),
                 task.best,
