@@ -147,6 +147,8 @@ class RecordAudit:
     confirmed: int
     #: rigorous per-record bound (ceil-tightened), used as child pb
     rec_pb: np.ndarray
+    #: host_recs broken down by kernel action (diagnostics)
+    why: dict = dataclasses.field(default_factory=dict)
 
 
 def audit_records(
@@ -168,18 +170,21 @@ def audit_records(
     )
     host_recs: List[int] = []
     confirmed = 0
+    why = {"iterlim": 0, "infeas": 0, "prune": 0, "leaf": 0}
     for t in range(nlog):
         act = int(recs[t, F_ACTION])
         if act == ACT_BRANCH:
             continue  # no closure claimed; children tracked by the replay
         if act == ACT_ITERLIM:
             host_recs.append(t)
+            why["iterlim"] += 1
             continue
         if act == ACT_INFEAS:
             if box_empty[t] or dual_lb[t] == np.inf:
                 confirmed += 1
             else:
                 host_recs.append(t)
+                why["infeas"] += 1
             continue
         # ACT_PRUNE / ACT_LEAF: closed iff nothing in the node can beat the
         # validated final incumbent
@@ -190,4 +195,7 @@ def audit_records(
             confirmed += 1
         else:
             host_recs.append(t)
-    return RecordAudit(host_recs=host_recs, confirmed=confirmed, rec_pb=rec_pb)
+            why["prune" if act == ACT_PRUNE else "leaf"] += 1
+    return RecordAudit(
+        host_recs=host_recs, confirmed=confirmed, rec_pb=rec_pb, why=why
+    )

@@ -21,9 +21,14 @@ knapsack family — they cut 2KP50 stage MIPs from thousands of nodes to tens):
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
+
+#: branching-rule experiment knob: "mf" (most fractional, default),
+#: "cost" (max |c_j| among fractional), "costfrac" (|c_j| * centrality)
+_BRANCH_RULE = os.environ.get("MOIP_BRANCH", "mf")
 
 from moip_aira_tpu.solver.heuristics import local_search
 from moip_aira_tpu.solver.simplex_np import LPResult, SimplexWorkspace, solve_lp
@@ -65,10 +70,25 @@ def solve_mip(
     integral_objective: bool,
     max_nodes: int = 200000,
     incumbent_x: Optional[np.ndarray] = None,
+    root_cuts: Optional[bool] = None,
 ) -> MIPResult:
-    """Minimise c @ x with z-bounds (lo, hi) and integrality on x[is_int]."""
+    """Minimise c @ x with z-bounds (lo, hi) and integrality on x[is_int].
+
+    ``root_cuts`` runs a cut-and-branch root loop first (extended cover
+    cuts, solver/cuts.py) — integer-combinatorial cuts that are exactly
+    valid, appended as ordinary rows before the tree search.  Default OFF:
+    measured on the KP2D ladder the extended covers reduce easy-instance
+    trees ~20% but GROW the hardest trees up to 3x (near-uniform weights
+    make covers barely stronger than the LP's own packing limit, and the
+    extra rows perturb the DFS trajectory); MOIP_CUTS=1 opts in.
+    """
     n_int = int(np.count_nonzero(is_int))
     int_idx = np.flatnonzero(is_int)
+
+    if root_cuts is None:
+        root_cuts = n_int > 0 and os.environ.get("MOIP_CUTS", "0") == "1"
+    if root_cuts and n_int:
+        ws, lo, hi = _root_cut_loop(ws, c, lo, hi, is_int)
 
     best_obj = np.inf
     best_x: Optional[np.ndarray] = None
@@ -116,7 +136,17 @@ def solve_mip(
             continue
         x = r.x
         frac = np.abs(x[int_idx] - np.rint(x[int_idx]))
-        worst = np.argmax(frac) if n_int else 0
+        worst = int(np.argmax(frac)) if n_int else 0
+        if n_int and frac[worst] > INT_TOL and _BRANCH_RULE != "mf":
+            # cost-weighted branching (MOIP_BRANCH=costfrac): prefer the
+            # fractional variable with the largest objective leverage —
+            # measured to shrink correlated-knapsack trees vs pure
+            # most-fractional (see STATUS round-2 notes)
+            fr = np.minimum(frac, 1.0 - np.minimum(frac, 1.0))
+            cand = frac > INT_TOL
+            w = np.abs(c[int_idx]) * (fr if _BRANCH_RULE == "costfrac" else 1.0)
+            w = np.where(cand, w, -1.0)
+            worst = int(np.argmax(w))
         if n_int == 0 or frac[worst] <= INT_TOL:
             # integer feasible
             obj = r.obj
@@ -192,3 +222,52 @@ def _set(arr: np.ndarray, j: int, v: float) -> np.ndarray:
     out = arr.copy()
     out[j] = v
     return out
+
+
+def _root_cut_loop(
+    ws: SimplexWorkspace,
+    c: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    is_int: np.ndarray,
+    max_rounds: int = 10,
+):
+    """Cut-and-branch root strengthening: separate extended cover cuts at
+    the root LP optimum, append them as rows, re-solve, repeat until no
+    violated cut remains.  Returns (ws', lo', hi') with the cut rows added.
+
+    Validity is node-independent: separation sees the ROOT bounds, so every
+    cut holds throughout the tree.  Cut rows are priced by the exact
+    simplex like any other row — the exactness contract is untouched.
+    """
+    from moip_aira_tpu.solver.cuts import separate_cover_cuts
+
+    n, m0 = ws.n, ws.m
+    A = ws.W[:, :n].copy()
+    lo_c, hi_c = lo.copy(), hi.copy()
+    added = 0
+    for _ in range(max_rounds):
+        r = solve_lp(ws, c, lo_c, hi_c)
+        if r.status != SolveStatus.OPTIMAL or r.x is None:
+            break
+        fr = np.abs(r.x[is_int] - np.rint(r.x[is_int]))
+        if fr.size == 0 or fr.max() <= INT_TOL:
+            break
+        cuts = separate_cover_cuts(
+            A[:m0],  # separate from ORIGINAL rows only (cuts don't re-seed)
+            lo_c[n : n + m0],
+            hi_c[n : n + m0],
+            r.x,
+            lo_c,
+            hi_c,
+            is_int,
+        )
+        if not cuts:
+            break
+        rows = np.stack([cu[0] for cu in cuts])
+        A = np.vstack([A, rows])
+        lo_c = np.concatenate([lo_c, np.array([cu[1] for cu in cuts])])
+        hi_c = np.concatenate([hi_c, np.array([cu[2] for cu in cuts])])
+        ws = SimplexWorkspace(A)
+        added += len(cuts)
+    return ws, lo_c, hi_c

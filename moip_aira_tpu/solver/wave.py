@@ -325,7 +325,16 @@ class WaveLexBackend:
         if fragments == "auto":
             fragments = (not interp) and self.mesh is None
         self.fragments = bool(fragments)
-        self.frag_stats = {"records": 0, "host_recs": 0, "reopened": 0}
+        self.frag_stats = {
+            "records": 0, "host_recs": 0, "reopened": 0,
+            "lanes": 0, "waves": 0,
+            "why": {"iterlim": 0, "infeas": 0, "prune": 0, "leaf": 0},
+        }
+        import os as _os
+
+        #: MOIP_WAVE_PROGRESS=N -> one stderr line every N device waves
+        self._progress_every = int(_os.environ.get("MOIP_WAVE_PROGRESS", "0"))
+        self._t_start = None
         if not self.fragments:
             return
         from moip_aira_tpu.solver.pallas_bb import make_pallas_bb_batch
@@ -851,6 +860,22 @@ class WaveLexBackend:
             par[i, 2] = float(self._frag_F)
             par[i, 3] = 1.0
         # inactive padding lanes (par[:,3]=0) exit at tick 0
+        self.frag_stats["lanes"] += nb
+        self.frag_stats["waves"] += 1
+        if self._progress_every and self.frag_stats["waves"] % self._progress_every == 0:
+            import sys as _sys
+            import time as _time
+
+            if self._t_start is None:
+                self._t_start = _time.monotonic()
+            _sys.stderr.write(
+                f"[wave] {_time.monotonic() - self._t_start:8.1f}s "
+                f"waves={self.frag_stats['waves']} "
+                f"lanes={self.frag_stats['lanes']} "
+                f"recs={self.frag_stats['records']} "
+                f"host={self.frag_stats['host_recs']} "
+                f"reopen={self.frag_stats['reopened']}\n"
+            )
         with jax.enable_x64(False):
             out = self._frag_fn(c_buf, lo_buf, hi_buf, par)
         return wave, nb, out
@@ -891,6 +916,9 @@ class WaveLexBackend:
         atup_all = self._frag_meta["unpack_atup"](np.asarray(lga_d)[:nb])
 
         # ---- 1. replay every lane's walk to exact node boxes ---------------
+        import time as _time
+
+        _t_rep = _time.perf_counter()
         replays: List = []
         lane_rows: List = []
         R = 0
@@ -923,6 +951,7 @@ class WaveLexBackend:
             lane_rows.append((R, R + rows))
             R += rows
         self.frag_stats["records"] += R
+        GLOBAL_TIMINGS.add("frag.replay", _time.perf_counter() - _t_rep)
 
         # ---- 2. batched rigorous certification — load-bearing records ONLY.
         # BRANCH never claims a closure (branching is unconditionally sound;
@@ -985,6 +1014,7 @@ class WaveLexBackend:
                 okR[sel] = cert.ok
 
         # ---- 3. validate + adopt claimed leaves (exact f64) -----------------
+        _t_leaf = _time.perf_counter()
         glo_cache: Dict[int, tuple] = {}
         for i in range(nb):
             rep = replays[i]
@@ -1022,7 +1052,10 @@ class WaveLexBackend:
                     task.best = v
                     task.best_x = cand.copy()
 
+        GLOBAL_TIMINGS.add("frag.leaf_validate", _time.perf_counter() - _t_leaf)
+
         # ---- 4. audit closures; host-resolve failures; re-open siblings ----
+        _t_aud = _time.perf_counter()
         for i in range(nb):
             task, _root_lo, _root_hi, pb0 = wave[i]
             task.inflight -= 1
@@ -1053,6 +1086,8 @@ class WaveLexBackend:
                 task.obj_int,
             )
             self.frag_stats["host_recs"] += len(audit.host_recs)
+            for k_, v_ in audit.why.items():
+                self.frag_stats["why"][k_] += v_
             for t in audit.host_recs:
                 if task.failed:
                     break
