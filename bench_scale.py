@@ -107,12 +107,16 @@ def _alarm(_s, _f):
     raise Timeout()
 
 
-def run_one(name: str, backend: str, budget: int, workers: int) -> dict:
+def run_one(
+    name: str, backend: str, budget: int, workers: int, split: bool = False
+) -> dict:
     from moip_aira_tpu.api import solve_front
     from moip_aira_tpu.io import read_problem
 
     p = read_problem(instance_path(name))
     row: dict = {"name": name, "n": p.n, "backend": backend}
+    if split:
+        row["backend"] = f"{backend}+split{workers}"
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(budget)
     try:
@@ -120,10 +124,10 @@ def run_one(name: str, backend: str, budget: int, workers: int) -> dict:
         # compile service is 10-600 s; the reference's CPLEX pays no such
         # one-off tax, so the timed run is the warm steady state)
         t0 = time.monotonic()
-        solve_front(p, n_workers=workers, backend=backend)
+        solve_front(p, n_workers=workers, backend=backend, split=split)
         row["warmup_s"] = round(time.monotonic() - t0, 1)
         t0 = time.monotonic()
-        res = solve_front(p, n_workers=workers, backend=backend)
+        res = solve_front(p, n_workers=workers, backend=backend, split=split)
         row["elapsed_s"] = round(time.monotonic() - t0, 1)
         row["points"] = res.solution_count
         row["ips"] = res.ip_count
@@ -197,6 +201,11 @@ def main(argv=None) -> int:
     ap.add_argument("--budget", type=int, default=1800)
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument(
+        "--split", action="store_true",
+        help="EPP range split (the scalable parallel axis for 2 objectives:"
+        " synergistic workers cap at objcnt!)",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="pin jax to CPU (the JAX_PLATFORMS env var is ignored under "
         "the axon TPU plugin; this uses jax.config before first use)",
@@ -215,7 +224,7 @@ def main(argv=None) -> int:
 
     for name in args.sizes:
         print(f"[bench_scale] {name} ({args.backend}) ...", flush=True)
-        row = run_one(name, args.backend, args.budget, args.workers)
+        row = run_one(name, args.backend, args.budget, args.workers, args.split)
         rows[name] = row
         print(f"[bench_scale] {json.dumps(row)}", flush=True)
         with open(jpath, "w") as fh:

@@ -57,6 +57,10 @@ class LaneReplay:
     node_hi: np.ndarray  # (nlog, nvar)
     #: nodes the fragment left unexplored: (lo, hi, parent_record or -1)
     open_nodes: List[Tuple[np.ndarray, np.ndarray, int]]
+    #: True when the LAST open node is the one the lane was actively
+    #: solving at its tick stop — its LP resumes from the lane's FINAL
+    #: basis (kernel fin_basis/fin_atup outputs), not its parent's
+    pending: bool = False
 
 
 def replay_lane(
@@ -136,7 +140,9 @@ def replay_lane(
         # stopped; its bounds equal the replay cursor
         assert np.array_equal(lo2, lo) and np.array_equal(hi2, hi)
         opens.append((lo2.copy(), hi2.copy(), last_parent))
-    return LaneReplay(node_lo=node_lo, node_hi=node_hi, open_nodes=opens)
+    return LaneReplay(
+        node_lo=node_lo, node_hi=node_hi, open_nodes=opens, pending=pending
+    )
 
 
 @dataclasses.dataclass

@@ -48,6 +48,7 @@ from moip_aira_tpu.solver import simplex_jax as sx
 
 BIG = 1e30
 STALL_LIMIT = 60
+STALL_EXIT = 300  # zero-progress phase-2 pivots before claiming OPTIMAL
 INT_TOL = 1e-4  # f32 integrality tolerance (audit re-checks in f64)
 
 # node actions (logged)
@@ -109,7 +110,11 @@ def make_pallas_bb_batch(
 
     Inputs: c/lo/hi as in pallas_rev (root-node bounds incl. logical
     stage bounds); par (B, 4): [0]=incumbent, [1]=obj-integral flag,
-    [2]=node budget (<= F), [3]=lane active flag.
+    [2]=node budget (<= F), [3]=lane active flag; wb (B, m) i32 warm
+    ROOT basis (-1 = cold) rebuilt in-kernel by Gauss-Jordan — re-opened
+    subtree roots restart from their parent record's basis instead of a
+    cold phase-1 (the assignment family's degeneracy makes cold solves
+    300-1500+ iterations vs a handful warm); wa (B, nc) i32 at-upper.
     ``int_mask_np`` marks integer STRUCTURAL columns (length n or nc).
     """
     m, nc = W_np.shape
@@ -118,11 +123,11 @@ def make_pallas_bb_batch(
     nc_p = _round_up(n + m_p, 128)
     PW = _round_up(-(-nc_p // 16), 128)  # packed at-upper words
 
-    # VMEM budget per lane: LP state (BI + rows) + B&B state + logs
+    # VMEM budget per lane: LP state (BI + warm-GJ P1 + rows) + B&B + logs
     per_lane = (
-        m_p * m_p  # BI
-        + 10 * nc_p  # c/lo/hi/clo/chi/zv-temps/bestx/inb/atup
-        + 12 * m_p
+        2 * m_p * m_p  # BI + P1
+        + 11 * nc_p  # c/lo/hi/wa/clo/chi/zv-temps/bestx/inb/atup
+        + 13 * m_p
         + 6 * D
         + F * (128 + m_p + PW)
     ) * 4
@@ -161,12 +166,12 @@ def make_pallas_bb_batch(
     )
 
     def kernel(
-        W_ref, im_ref, pk_ref, c_ref, lo_ref, hi_ref, par_ref,
+        W_ref, im_ref, pk_ref, c_ref, lo_ref, hi_ref, par_ref, wb_ref, wa_ref,
         # outputs
         best_ref, bestx_ref, nlog_ref, lstate_ref, titer_ref,
-        lgs_ref, lgb_ref, lga_ref,
+        lgs_ref, lgb_ref, lga_ref, fb_ref, fa_ref,
         # scratch
-        BI, xB, bl, bh, cB, cIb, basis, inb, atup,
+        BI, P1, xB, bl, bh, cB, cIb, basis, inb, atup,
         clo, chi, zscr,
         stall, lpstat, lobj, niter, mode, best, ncnt, depth, restart,
         st_j, st_fl, st_ol, st_oh, st_state, st_dir,
@@ -206,33 +211,153 @@ def make_pallas_bb_batch(
         bi_row = jax.lax.broadcasted_iota(jnp.int32, (1, m_p, m_p), 1)
         bi_col = jax.lax.broadcasted_iota(jnp.int32, (1, m_p, m_p), 2)
         neg_eye = jnp.where(bi_row == bi_col, -1.0, 0.0)
-        BI[...] = jnp.broadcast_to(neg_eye, (B, m_p, m_p))  # B = -I
         basis_cold = jnp.broadcast_to(n + row_ids, (B, m_p)).astype(jnp.int32)
         basis[...] = basis_cold
-        inb[...] = jnp.where(
-            (col_ids >= n) & (col_ids < n + m_p), 1, 0
-        ) * jnp.ones((B, nc_p), jnp.int32)
+
+        # ---- warm-root basis rebuild (pallas_rev.py pattern) ---------------
+        # Fragment roots re-opened from a parent record restart from the
+        # parent's basis instead of a cold -I: gather the warm basis columns
+        # into P1, greedy Gauss-Jordan on [P1 | -I] — the row-op matrix that
+        # one-hots P1 is B^-1, so BI ends as -B^-1.  Cold phase-1 on the
+        # massively degenerate assignment polytopes burns 300-1500+
+        # iterations per node; a parent basis re-attains feasibility in a
+        # handful.  Scratch roles during GJ: xB = assigned-row mask,
+        # atup[:, :m_p] = remaining-entry mask, stall[:, 0] = rebuild-ok.
+        warm0 = wb_ref[:, 0] >= 0
+        BI[...] = jnp.broadcast_to(neg_eye, (B, m_p, m_p))
+        stall[...] = jnp.zeros((B, 128), jnp.int32)
+
+        @pl.when(jnp.any(warm0))
+        def _():
+            def gather_step(t, _):
+                tsel = (row_ids == t).astype(jnp.int32)  # (1, m_p)
+                wbt = jnp.sum(tsel * wb_ref[...], axis=1)  # (B,)
+                colmask = (col_ids == wbt[:, None]).astype(jnp.float32)
+                colt = mm(colmask, W_ref[...], 1, 1)  # (B, m_p)
+                P1[...] = jnp.where(bi_col == t, colt[:, :, None], P1[...])
+                return 0
+
+            jax.lax.fori_loop(0, m_p, gather_step, 0)
+
+            xB[...] = jnp.zeros((B, m_p), jnp.float32)
+            atup[...] = jnp.broadcast_to(
+                (col_ids < m_p).astype(jnp.int32), (B, nc_p)
+            )
+            stall[...] = jnp.broadcast_to(
+                warm0.astype(jnp.int32)[:, None], (B, 128)
+            )
+            rid_b = jax.lax.broadcasted_iota(jnp.int32, (B, m_p), 1)
+
+            def gj_step(i, _):
+                okw = stall[:, 0] > 0
+                assigned = xB[...]  # (B, m_p) rows
+                rem = atup[:, :m_p].astype(jnp.float32)  # (B, m_p) entries
+                scores = (
+                    jnp.abs(P1[...])
+                    * (1.0 - assigned)[:, :, None]
+                    * rem[:, None, :]
+                )
+                rowmax = jnp.max(scores, axis=2)  # (B, m_p)
+                r = jnp.argmax(rowmax, axis=1).astype(jnp.int32)
+                rmask = (rid_b == r[:, None]).astype(jnp.float32)
+                scores_r = jnp.sum(scores * rmask[:, :, None], axis=1)
+                tb = jnp.argmax(scores_r, axis=1).astype(jnp.int32)  # (B,)
+                tmask = (rid_b == tb[:, None]).astype(jnp.float32)
+                pivcol = jnp.sum(P1[...] * tmask[:, None, :], axis=2)
+                piv = jnp.sum(pivcol * rmask, axis=1)  # (B,)
+                good = jnp.abs(piv) > 1e-5
+                act = okw & good
+                actf = act.astype(jnp.float32)[:, None]
+                safe_piv = jnp.where(jnp.abs(piv) > 1e-5, piv, 1.0)
+                colv_mod = jnp.where(rmask > 0, piv[:, None] - 1.0, pivcol)
+                for Xr in (P1, BI):
+                    rowv = jnp.sum(Xr[...] * rmask[:, :, None], axis=1)
+                    rowdiv = rowv / safe_piv[:, None]
+                    Xn = Xr[...] - colv_mod[:, :, None] * rowdiv[:, None, :]
+                    Xr[...] = jnp.where(eb3(act), Xn, Xr[...])
+                wbt = jnp.sum(tmask * wb_ref[...].astype(jnp.float32), axis=1)
+                basis[...] = jnp.where(
+                    (rmask > 0) & eb(act),
+                    wbt.astype(jnp.int32)[:, None],
+                    basis[...],
+                )
+                xB[...] = jnp.minimum(assigned + rmask * actf, 1.0)
+                atup[...] = jnp.where(
+                    (col_ids < m_p) & (col_ids == tb[:, None]) & eb(act),
+                    0,
+                    atup[...],
+                )
+                stall[...] = jnp.broadcast_to(
+                    (okw & good).astype(jnp.int32)[:, None], (B, 128)
+                )
+                return 0
+
+            jax.lax.fori_loop(0, m_p, gj_step, 0)
+
+        use_warm = warm0 & (stall[:, 0] > 0)
+        # BI holds -B^-1 for good warm lanes; cold / failed-warm lanes take
+        # the logical basis (B = -I  =>  B^-1 = -I)
+        BI[...] = jnp.where(
+            eb3(use_warm), -BI[...], jnp.broadcast_to(neg_eye, (B, m_p, m_p))
+        )
+        basis[...] = jnp.where(eb(use_warm), basis[...], basis_cold).astype(
+            jnp.int32
+        )
+
+        # membership / at-upper masks from the effective basis
+        inb[...] = jnp.zeros((B, nc_p), jnp.int32)
+
+        def memb_step(i, _):
+            rsel = (row_ids == i).astype(jnp.int32)
+            bi_i = jnp.sum(rsel * basis[...], axis=1)
+            inb[...] = jnp.where(col_ids == bi_i[:, None], 1, inb[...])
+            return 0
+
+        jax.lax.fori_loop(0, m_p, memb_step, 0)
         is_struct = col_ids < n
         at0 = is_struct & ~jnp.isfinite(clo[...]) & jnp.isfinite(chi[...])
-        atup[...] = at0.astype(jnp.int32)
-        cB[...] = jnp.zeros((B, m_p), jnp.float32)  # logical costs are 0
-        cIb[...] = jnp.zeros((B, m_p), jnp.float32)
+        atup_cold = jnp.where((inb[...] == 0) & at0, 1, 0)
+        atup_warm = jnp.where((inb[...] == 0) & (wa_ref[...] > 0), 1, 0)
+        atup[...] = jnp.where(eb(use_warm), atup_warm, atup_cold)
 
-        # basic (logical) bounds: gather row i <- col n+i
+        # basic bounds / costs / int flags gathered from the basis
+        # (mask-multiply over +-BIG-sanitised bounds; restored to inf after)
+        lo_s = jnp.where(
+            jnp.isposinf(clo[...]), BIG,
+            jnp.where(jnp.isneginf(clo[...]), -BIG, clo[...]),
+        )
+        hi_s = jnp.where(
+            jnp.isposinf(chi[...]), BIG,
+            jnp.where(jnp.isneginf(chi[...]), -BIG, chi[...]),
+        )
+
         def pick_step(i, _):
-            rsel = (row_ids == i).astype(jnp.float32)  # (1, m_p)
-            sel = col_ids == n + i  # (1, nc_p)
-            # where-gather, NOT mask-multiply: bounds contain +-inf and
-            # 0 * inf = NaN would poison the whole row sum
-            lo_i = jnp.sum(jnp.where(sel, clo[...], 0.0), axis=1)
-            hi_i = jnp.sum(jnp.where(sel, chi[...], 0.0), axis=1)
-            bl[...] = jnp.where(rsel > 0, lo_i[:, None], bl[...])
-            bh[...] = jnp.where(rsel > 0, hi_i[:, None], bh[...])
+            rsel = (row_ids == i).astype(jnp.int32)  # (1, m_p)
+            bi_i = jnp.sum(rsel * basis[...], axis=1)  # (B,)
+            sel = (col_ids == bi_i[:, None]).astype(jnp.float32)
+            rself = rsel.astype(jnp.float32)
+            bl[...] = jnp.where(
+                rself > 0, jnp.sum(sel * lo_s, axis=1)[:, None], bl[...]
+            )
+            bh[...] = jnp.where(
+                rself > 0, jnp.sum(sel * hi_s, axis=1)[:, None], bh[...]
+            )
+            cB[...] = jnp.where(
+                rself > 0, jnp.sum(sel * c, axis=1)[:, None], cB[...]
+            )
+            cIb[...] = jnp.where(
+                rself > 0, jnp.sum(sel * intm.astype(jnp.float32), axis=1)[:, None],
+                cIb[...],
+            )
             return 0
 
         bl[...] = jnp.zeros((B, m_p), jnp.float32)
         bh[...] = jnp.zeros((B, m_p), jnp.float32)
+        cB[...] = jnp.zeros((B, m_p), jnp.float32)
+        cIb[...] = jnp.zeros((B, m_p), jnp.float32)
         jax.lax.fori_loop(0, m_p, pick_step, 0)
+        bl[...] = jnp.where(bl[...] <= -BIG / 2, -jnp.inf, bl[...])
+        bh[...] = jnp.where(bh[...] >= BIG / 2, jnp.inf, bh[...])
 
         best[...] = sc(par_ref[:, 0])
         bestx_ref[...] = jnp.zeros((B, nc_p), jnp.float32)
@@ -522,6 +647,21 @@ def make_pallas_bb_batch(
             )
             titer_ref[...] = titer_ref[...] + jnp.where(eb(stepping0), 1, 0)
 
+            # noise-stall exit: hundreds of consecutive pivots with ZERO
+            # objective progress in phase 2 means the lane sits on (or next
+            # to) the optimal face but f32 reduced-cost noise keeps finding
+            # "eligible" columns — measured on 2AP40 such lanes burn the
+            # whole 8k+ iteration budget at the optimum (the exact host LP
+            # warm from the same basis finishes in a handful of pivots).
+            # Claim OPTIMAL and let the f64 audit confirm or cheaply refute.
+            lp_new = jnp.where(
+                (lp_new == RUNNING)
+                & stepping0
+                & ~phase1
+                & (stall[:, 0] >= STALL_EXIT),
+                OPTIMAL,
+                lp_new,
+            )
             # per-node iteration cap
             lp_new = jnp.where(
                 (lp_new == RUNNING) & stepping0 & (niter[:, 0] >= node_iters),
@@ -765,6 +905,11 @@ def make_pallas_bb_batch(
 
         best_ref[...] = best[...]
         nlog_ref[...] = ncnt[...]
+        # final LP state: a lane stopped mid-solve by the tick budget
+        # resumes from THIS basis next call instead of re-pivoting from its
+        # parent's (the host threads it into the reopened pending node)
+        fb_ref[...] = basis[...]
+        fa_ref[...] = mm(atup[...].astype(jnp.float32), pk_ref[...], 1, 0)
         # lanes still live at the tick limit keep LS_TICKS from init
 
     NB = batch
@@ -780,6 +925,8 @@ def make_pallas_bb_batch(
             pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, m_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, nc_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((CHUNK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -796,6 +943,8 @@ def make_pallas_bb_batch(
             pl.BlockSpec(
                 (CHUNK, F, PW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((CHUNK, m_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, PW), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((NB, 128), jnp.float32),  # best
@@ -806,9 +955,12 @@ def make_pallas_bb_batch(
             jax.ShapeDtypeStruct((NB, F, 128), jnp.float32),  # lg_scal
             jax.ShapeDtypeStruct((NB, F, m_p), jnp.float32),  # lg_basis
             jax.ShapeDtypeStruct((NB, F, PW), jnp.float32),  # lg_atup
+            jax.ShapeDtypeStruct((NB, m_p), jnp.int32),  # final basis
+            jax.ShapeDtypeStruct((NB, PW), jnp.float32),  # final at-upper
         ),
         scratch_shapes=[
             pltpu.VMEM((B, m_p, m_p), jnp.float32),  # BI
+            pltpu.VMEM((B, m_p, m_p), jnp.float32),  # P1 (warm GJ)
             pltpu.VMEM((B, m_p), jnp.float32),  # xB
             pltpu.VMEM((B, m_p), jnp.float32),  # bl
             pltpu.VMEM((B, m_p), jnp.float32),  # bh
@@ -843,14 +995,27 @@ def make_pallas_bb_batch(
     unpack_cols = np.arange(nc_p)
 
     @jax.jit
-    def _run_w(Wp_arg, im_arg, pk_arg, c, lo, hi, par):
+    def _run_w(Wp_arg, im_arg, pk_arg, c, lo, hi, par, wb, wa):
         zpad = jnp.zeros((NB, nc_p - (n + m)), jnp.float32)
         cp = jnp.concatenate([c, zpad], axis=1)
         lop = jnp.concatenate([lo, zpad], axis=1)
         hip = jnp.concatenate([hi, zpad], axis=1)
         parp = jnp.zeros((NB, 128), jnp.float32).at[:, :4].set(par)
-        (best, bestx, nlog, lstate, iters, lgs, lgb, lga) = pallas_fn(
-            Wp_arg, im_arg, pk_arg, cp, lop, hip, parp
+        # pad warm bases: cold lanes stay -1, warm lanes' padding rows take
+        # the padded logical columns n+m..n+m_p-1 (the -1 diagonal block)
+        cold = wb[:, :1] < 0
+        if m_p > m:
+            rows_pad = n + jnp.arange(m, m_p, dtype=jnp.int32)[None, :]
+            wb_pad = jnp.where(
+                cold, -1, jnp.broadcast_to(rows_pad, (NB, m_p - m))
+            )
+        else:
+            wb_pad = jnp.zeros((NB, 0), jnp.int32)
+        wbp = jnp.concatenate([wb, wb_pad], axis=1).astype(jnp.int32)
+        zpad_i = jnp.zeros((NB, nc_p - (n + m)), jnp.int32)
+        wap = jnp.concatenate([wa.astype(jnp.int32), zpad_i], axis=1)
+        (best, bestx, nlog, lstate, iters, lgs, lgb, lga, fb, fa) = pallas_fn(
+            Wp_arg, im_arg, pk_arg, cp, lop, hip, parp, wbp, wap
         )
         return (
             best[:, 0],
@@ -861,15 +1026,21 @@ def make_pallas_bb_batch(
             lgs[:, :, :8],
             lgb,
             lga,
+            fb,
+            fa,
         )
 
-    def solve_fragments(c, lo, hi, par):
-        best, bestx, nlog, lstate, iters, lgs, lgb, lga = _run_w(
-            Wp_j, im_j, pk_j, c, lo, hi, par
+    def solve_fragments(c, lo, hi, par, wb=None, wa=None):
+        if wb is None:
+            wb = jnp.full((NB, m), -1, jnp.int32)
+            wa = jnp.zeros((NB, n + m), jnp.int32)
+        best, bestx, nlog, lstate, iters, lgs, lgb, lga, fb, fa = _run_w(
+            Wp_j, im_j, pk_j, c, lo, hi, par, wb, wa
         )
         return dict(
             best=best, bestx=bestx, nlog=nlog, lstate=lstate, iters=iters,
             lg_scal=lgs, lg_basis=lgb, lg_atup=lga,
+            fin_basis=fb, fin_atup=fa,
         )
 
     def unpack_atup(lga_np: np.ndarray) -> np.ndarray:
@@ -879,8 +1050,12 @@ def make_pallas_bb_batch(
         bits = (words >> (unpack_cols % 16)) & 1
         return bits[:, :, : n + m].astype(np.int8)
 
+    def unpack_atup1(fa_np: np.ndarray) -> np.ndarray:
+        """(B, PW) packed f32 words -> (B, nc) 0/1 int8."""
+        return unpack_atup(np.asarray(fa_np)[:, None, :])[:, 0]
+
     meta = dict(
         m=m, nc=nc, n=n, m_p=m_p, nc_p=nc_p, chunk=CHUNK, F=F, D=D, PW=PW,
-        unpack_atup=unpack_atup,
+        unpack_atup=unpack_atup, unpack_atup1=unpack_atup1,
     )
     return solve_fragments, meta

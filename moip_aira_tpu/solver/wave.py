@@ -75,12 +75,15 @@ class _StageTask:
         self.c_struct = c_struct
         self.obj_int = obj_int
         self.srhs = srhs
-        # DFS stack of (lo, hi, warm_basis, warm_at_upper, parent_bound);
-        # parent_bound is a valid f64 lower bound on every solution in the
-        # node (its parent's certified LP bound) — checked against the
-        # incumbent at SUBMIT time, so nodes created before a better
-        # incumbent arrived are dropped without a device solve
-        self.nodes: List = [(lb.copy(), ub.copy(), None, None, -np.inf)]
+        # DFS stack of (lo, hi, warm_basis, warm_at_upper, parent_bound,
+        # retry); parent_bound is a valid f64 lower bound on every solution
+        # in the node (its parent's certified LP bound) — checked against
+        # the incumbent at SUBMIT time, so nodes created before a better
+        # incumbent arrived are dropped without a device solve.  retry
+        # counts failed device closures of THIS box: the first failure
+        # requeues to the device (warm from the stop basis), the second
+        # goes to the exact host step — bounded, hence terminating.
+        self.nodes: List = [(lb.copy(), ub.copy(), None, None, -np.inf, 0)]
         self.best = np.inf
         self.best_x: Optional[np.ndarray] = None
         self.node_count = 0
@@ -119,6 +122,9 @@ class WaveLexBackend:
         self.batch_width = batch_width
         self.nodes_per_task = nodes_per_task
         self.max_nodes = max_nodes
+        #: (stage, obj_j) -> (basis, at_upper) of the most recent finished
+        #: node of that stage kind; warms sibling stage ROOTS (_stage_task)
+        self._root_basis_cache = {}
         self.f32 = dtype == "float32"
         self.mesh = mesh
         if mesh is not None and batch_width % mesh.size != 0:
@@ -174,6 +180,17 @@ class WaveLexBackend:
         A_full = np.vstack([p.A, p.C])
         self._A_full = A_full
         W_np = np.hstack([A_full, -np.eye(self.m)])
+        # row equilibration for the f32 Mosaic kernels: assignment rows have
+        # unit coefficients while objective-bound rows carry ~1e2 entries
+        # over 1e3+ columns — the mixed scale stalls f32 pivoting (measured
+        # on 2AP40: a cold eps-node burns 1752 iters into a FALSE
+        # infeasibility unscaled, solves in 398 scaled).  The kernel sees
+        # [diag(s)A | -I] with logical bounds scaled by s at submit; basis
+        # indices, at-upper flags and structural x are scale-invariant, and
+        # every claim is still audited against the UNSCALED data, so
+        # exactness is untouched.
+        self._row_scale = 1.0 / np.maximum(np.abs(A_full).max(axis=1), 1e-12)
+        W_dev = np.hstack([A_full * self._row_scale[:, None], -np.eye(self.m)])
         if self.engine in ("pallas", "pallas_rev"):
             if self.engine == "pallas_rev":
                 from moip_aira_tpu.solver.pallas_rev import (
@@ -191,7 +208,7 @@ class WaveLexBackend:
             except Exception:
                 _interp = True
             pfn, pmeta = _make_kernel(
-                W_np.astype(np.float32),
+                W_dev.astype(np.float32),
                 per_dev,
                 max_iters=lp_max_iters,
                 # explicit engine="pallas*" on CPU runs the Mosaic kernel in
@@ -219,6 +236,11 @@ class WaveLexBackend:
                 # the pallas kernel is pure f32/i32; tracing it under the
                 # global x64 mode trips a jax recursion bug, so scope it out.
                 # c/lo/hi arrive stacked as one upload; split on device.
+                # logical bounds ride the row equilibration (see __init__)
+                lo = np.asarray(lo, dtype=np.float64).copy()
+                hi = np.asarray(hi, dtype=np.float64).copy()
+                lo[:, self.n :] *= self._row_scale
+                hi[:, self.n :] *= self._row_scale
                 with jax.enable_x64(False):
                     clh = jnp.asarray(
                         np.stack([c, lo, hi]), dtype=jnp.float32
@@ -326,8 +348,8 @@ class WaveLexBackend:
             fragments = (not interp) and self.mesh is None
         self.fragments = bool(fragments)
         self.frag_stats = {
-            "records": 0, "host_recs": 0, "reopened": 0,
-            "lanes": 0, "waves": 0,
+            "records": 0, "host_recs": 0, "reopened": 0, "resumed": 0,
+            "lanes": 0, "waves": 0, "warm": 0,
             "why": {"iterlim": 0, "infeas": 0, "prune": 0, "leaf": 0},
         }
         import os as _os
@@ -350,13 +372,21 @@ class WaveLexBackend:
         # lanes that still run out are re-opened by the audit — ticks only
         # bound one device call's duration, not correctness
         max_ticks = max(8192, frag_nodes * 6 * self.m)
+        # per-node iteration cap: degenerate cold LPs (assignment rows) can
+        # legitimately burn many hundreds of pivots; warm-rooted children
+        # need a handful.  A cap that cold roots keep hitting turns into an
+        # exact host LP per node — far worse than longer device ticks.
+        node_iters = max(1500, 100 * self.m)
+        W_sc = np.asarray(W_np, dtype=np.float64).copy()
+        W_sc[:, : self.n] *= self._row_scale[:, None]  # [diag(s)A | -I]
         self._frag_fn, self._frag_meta = make_pallas_bb_batch(
-            np.asarray(W_np, dtype=np.float32),
+            np.asarray(W_sc, dtype=np.float32),
             np.asarray(self.problem.is_int, dtype=np.float32),
             self.frag_batch,
             F=frag_nodes,
             D=frag_depth,
-            max_ticks=max_ticks,
+            node_iters=node_iters,
+            max_ticks=max(max_ticks, 2 * node_iters),
             interpret=interp,
         )
 
@@ -374,6 +404,18 @@ class WaveLexBackend:
             self.problem.lb,
             self.problem.ub,
         )
+        # warm the ROOT from the last basis any task of this (stage, obj)
+        # finished with: sibling stage MIPs differ only in their objective
+        # -bound box, so the basis re-attains feasibility in a handful of
+        # pivots where a cold phase-1 on degenerate rows (assignment
+        # families) burns hundreds — or falsely stalls out entirely.  A
+        # stale basis costs nothing: the in-kernel Gauss-Jordan falls back
+        # to cold on singularity and the audit re-certifies every claim.
+        cached = getattr(self, "_root_basis_cache", {}).get((stage, j))
+        if cached is not None:
+            t.nodes[0] = (
+                t.nodes[0][0], t.nodes[0][1], cached[0], cached[1], -np.inf, 0
+            )
         t.cvec = np.concatenate([t.c_struct, np.zeros(self.m)])
         t.llo, t.lhi = self._logical_bounds(srhs)
         if x_warm is not None:
@@ -554,7 +596,7 @@ class WaveLexBackend:
         hi_buf = np.zeros((B, nc))
         wb_buf = np.full((B, self.m), -1, dtype=np.int32)
         wa_buf = np.zeros((B, nc), dtype=np.int32)
-        for i, (task, nlo, nhi, wb, wa, _pb) in enumerate(wave):
+        for i, (task, nlo, nhi, wb, wa, _pb, _rt) in enumerate(wave):
             c_buf[i] = task.cvec
             lo_buf[i, : self.n] = nlo
             lo_buf[i, self.n :] = task.llo
@@ -657,7 +699,7 @@ class WaveLexBackend:
                 fls = np.zeros(nb)
                 cand_ok = np.zeros(nb, dtype=bool)
                 cand_vals = np.full(nb, np.inf)
-            for i, (task, nlo, nhi, _wb, _wa, _pb) in enumerate(wave):
+            for i, (task, nlo, nhi, _wb, _wa, _pb, _rt) in enumerate(wave):
                 task.node_count += 1
                 task.inflight -= 1
                 if task.failed:
@@ -812,11 +854,11 @@ class WaveLexBackend:
                 # inherit this node's certified bound for submit-time pruning
                 pb = float(bounds[i])
                 if xs[i][jloc] - fl > 0.5:
-                    task.nodes.append((child_lo, dn_hi, cb, ca, pb))
-                    task.nodes.append((up_lo, child_hi, cb, ca, pb))
+                    task.nodes.append((child_lo, dn_hi, cb, ca, pb, 0))
+                    task.nodes.append((up_lo, child_hi, cb, ca, pb, 0))
                 else:
-                    task.nodes.append((up_lo, child_hi, cb, ca, pb))
-                    task.nodes.append((child_lo, dn_hi, cb, ca, pb))
+                    task.nodes.append((up_lo, child_hi, cb, ca, pb, 0))
+                    task.nodes.append((child_lo, dn_hi, cb, ca, pb, 0))
 
     # -- fragment waves (whole B&B subtrees per device call) -----------------
     def _submit_frag_wave(self, active: List[_StageTask]):
@@ -827,7 +869,8 @@ class WaveLexBackend:
         as _submit_wave: returns an un-waited async device call."""
         B = self.frag_batch
         nc = self.n + self.m
-        wave: List = []  # (task, root_lo, root_hi, parent_bound)
+        # wave entry: (task, root_lo, root_hi, parent_bound, wb, wa, retry)
+        wave: List = []
         n_active = sum(1 for t_ in active if t_.nodes)
         quota = max(self.nodes_per_task, B // max(1, n_active))
         for task in active:
@@ -837,7 +880,9 @@ class WaveLexBackend:
                 node = task.nodes.pop()
                 if node[4] >= task.best - eps_t:
                     continue  # incumbent improved since this node was made
-                wave.append((task, node[0], node[1], node[4]))
+                wave.append(
+                    (task, node[0], node[1], node[4], node[2], node[3], node[5])
+                )
                 take += 1
             task.inflight += take
             if len(wave) >= B:
@@ -849,18 +894,25 @@ class WaveLexBackend:
         lo_buf = np.zeros((B, nc), dtype=np.float32)
         hi_buf = np.zeros((B, nc), dtype=np.float32)
         par = np.zeros((B, 4), dtype=np.float32)
-        for i, (task, nlo, nhi, _pb) in enumerate(wave):
+        wb_buf = np.full((B, self.m), -1, dtype=np.int32)
+        wa_buf = np.zeros((B, nc), dtype=np.int32)
+        for i, (task, nlo, nhi, _pb, wb, wa, _rt) in enumerate(wave):
             c_buf[i] = task.cvec
             lo_buf[i, : self.n] = nlo
-            lo_buf[i, self.n :] = task.llo
+            # logical bounds ride the row equilibration (see __init__)
+            lo_buf[i, self.n :] = task.llo * self._row_scale
             hi_buf[i, : self.n] = nhi
-            hi_buf[i, self.n :] = task.lhi
+            hi_buf[i, self.n :] = task.lhi * self._row_scale
             par[i, 0] = task.best
             par[i, 1] = 1.0 if task.obj_int else 0.0
             par[i, 2] = float(self._frag_F)
             par[i, 3] = 1.0
+            if wb is not None:
+                wb_buf[i] = wb
+                wa_buf[i, : len(wa)] = wa
         # inactive padding lanes (par[:,3]=0) exit at tick 0
         self.frag_stats["lanes"] += nb
+        self.frag_stats["warm"] += int((wb_buf[:nb, 0] >= 0).sum())
         self.frag_stats["waves"] += 1
         if self._progress_every and self.frag_stats["waves"] % self._progress_every == 0:
             import sys as _sys
@@ -874,10 +926,13 @@ class WaveLexBackend:
                 f"lanes={self.frag_stats['lanes']} "
                 f"recs={self.frag_stats['records']} "
                 f"host={self.frag_stats['host_recs']} "
-                f"reopen={self.frag_stats['reopened']}\n"
+                f"reopen={self.frag_stats['reopened']} "
+                f"resume={self.frag_stats['resumed']} "
+                f"warm={self.frag_stats['warm']} "
+                f"why={self.frag_stats['why']}\n"
             )
         with jax.enable_x64(False):
-            out = self._frag_fn(c_buf, lo_buf, hi_buf, par)
+            out = self._frag_fn(c_buf, lo_buf, hi_buf, par, wb_buf, wa_buf)
         return wave, nb, out
 
     def _complete_frag_wave(self, submitted) -> None:
@@ -895,17 +950,22 @@ class WaveLexBackend:
         """
         from moip_aira_tpu.solver import bb_audit
         from moip_aira_tpu.solver.heuristics import candidate_value
+        import os as _os
+
         from moip_aira_tpu.solver.pallas_bb import (
             ACT_BRANCH, ACT_INFEAS, ACT_LEAF, ACT_PRUNE,
-            F_ACTION, F_FL, F_J, F_STATUS,
+            F_ACTION, F_FL, F_ITERS, F_J, F_STATUS,
         )
         from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
         wave, nb, out = submitted
         with GLOBAL_TIMINGS.span("wave.device_frag"):
             # ONE device->host transfer for all outputs (tunnel latency)
-            nlog_d, lgs_d, lgb_d, lga_d = jax.device_get(
-                (out["nlog"], out["lg_scal"], out["lg_basis"], out["lg_atup"])
+            nlog_d, lgs_d, lgb_d, lga_d, fb_d, fa_d = jax.device_get(
+                (
+                    out["nlog"], out["lg_scal"], out["lg_basis"],
+                    out["lg_atup"], out["fin_basis"], out["fin_atup"],
+                )
             )
         self.device_waves += 1
         n, m = self.n, self.m
@@ -913,7 +973,17 @@ class WaveLexBackend:
         nlog_d = np.asarray(nlog_d)
         lgs_d = np.asarray(lgs_d, dtype=np.float64)
         lgb_d = np.asarray(lgb_d)
-        atup_all = self._frag_meta["unpack_atup"](np.asarray(lga_d)[:nb])
+        lga_d = np.asarray(lga_d)
+        fb_d = np.asarray(fb_d)
+        # at-upper flags are unpacked LAZILY per needed record — the full
+        # (nb, F, nc) unpack was ~0.3-0.5 s of host bit-math per wave while
+        # only ~1/4 of the records (certified closures, reopened parents,
+        # resume states) are ever read
+        up1 = self._frag_meta["unpack_atup1"]
+        fa_all = up1(np.asarray(fa_d)[:nb])
+
+        def _au(i_, t_):
+            return up1(lga_d[i_, t_][None])[0]
 
         # ---- 1. replay every lane's walk to exact node boxes ---------------
         import time as _time
@@ -1005,7 +1075,7 @@ class WaveLexBackend:
                     bS[ps] = np.clip(
                         lgb_d[i][tsel][:, :m].astype(np.int32), 0, nc - 1
                     )
-                    auS[ps] = atup_all[i][tsel] > 0
+                    auS[ps] = up1(lga_d[i][tsel]) > 0
                 with GLOBAL_TIMINGS.span("wave.certify"):
                     cert = self._verifier.certify(
                         cS, loS, hiS, stR[sel], bS, auS
@@ -1057,7 +1127,7 @@ class WaveLexBackend:
         # ---- 4. audit closures; host-resolve failures; re-open siblings ----
         _t_aud = _time.perf_counter()
         for i in range(nb):
-            task, _root_lo, _root_hi, pb0 = wave[i]
+            task, _root_lo, _root_hi, pb0, root_wb, root_wa, root_rt = wave[i]
             task.inflight -= 1
             rep = replays[i]
             if task.failed or rep is None:
@@ -1069,13 +1139,23 @@ class WaveLexBackend:
             r0, r1 = lane_rows[i]
             nlog = r1 - r0
             eps_t = INT_TOL if task.obj_int else 1e-9
+            fb_i = np.clip(fb_d[i, :m].astype(np.int32), 0, nc - 1)
+            fa_i = fa_all[i].astype(np.int32)
             if nlog == 0:
-                # tick limit mid-first-LP: guarantee progress with one exact
-                # host B&B step on the root (replay leaves it open)
+                # tick limit mid-first-LP: resume the root from the lane's
+                # FINAL basis (the partial pivoting is not wasted); a box
+                # that failed a device visit before goes to the exact host
+                # step instead — bounded retries, so always terminating
                 for olo, ohi, _prec in rep.open_nodes:
-                    self._host_resolve_node(task, olo, ohi)
-                    if task.failed:
-                        break
+                    if root_rt == 0:
+                        task.nodes.append(
+                            (olo, ohi, fb_i, fa_i, float(pb0), 1)
+                        )
+                        self.frag_stats["resumed"] += 1
+                    else:
+                        self._host_resolve_node(task, olo, ohi)
+                        if task.failed:
+                            break
                 continue
             audit = bb_audit.audit_records(
                 lgs_d[i, :nlog],
@@ -1091,21 +1171,75 @@ class WaveLexBackend:
             for t in audit.host_recs:
                 if task.failed:
                     break
+                act_t = int(lgs_d[i, t, F_ACTION])
+                _dump = _os.environ.get("MOIP_DUMP_ITERLIM")
+                if _dump and act_t == 4:
+                    import pickle
+
+                    with open(_dump, "ab") as fh:
+                        pickle.dump(
+                            dict(
+                                node_lo=rep.node_lo[t], node_hi=rep.node_hi[t],
+                                llo=task.llo, lhi=task.lhi, cvec=task.cvec,
+                                basis=lgb_d[i, t, :m], atup=_au(i, t),
+                                iters=float(lgs_d[i, t, F_ITERS]),
+                            ),
+                            fh,
+                        )
+                wb_t = np.clip(lgb_d[i, t, :m].astype(np.int32), 0, nc - 1)
+                wa_t = _au(i, t) > 0
+                if act_t == 4 and root_rt == 0:  # ACT_ITERLIM, first failure
+                    # requeue to the device: the record's basis is exactly
+                    # where the LP stopped, so the solve CONTINUES there
+                    pb_t = float(audit.rec_pb[t])
+                    if not np.isfinite(pb_t):
+                        pb_t = float(pb0)
+                    if pb_t < task.best - eps_t:
+                        task.nodes.append(
+                            (
+                                rep.node_lo[t].copy(), rep.node_hi[t].copy(),
+                                wb_t, wa_t.astype(np.int32), pb_t, 1,
+                            )
+                        )
+                        self.frag_stats["resumed"] += 1
+                    continue
                 self._host_resolve_node(
                     task,
                     rep.node_lo[t],
                     rep.node_hi[t],
-                    warm_basis=np.clip(lgb_d[i, t, :m].astype(np.int32), 0, nc - 1),
-                    warm_atup=atup_all[i, t] > 0,
+                    warm_basis=wb_t,
+                    warm_atup=wa_t,
                 )
             if task.failed:
                 continue
-            for olo, ohi, prec in rep.open_nodes:
+            if nlog > 0:
+                self._root_basis_cache[(task.stage, task.obj_j)] = (
+                    np.clip(lgb_d[i, nlog - 1, :m].astype(np.int32), 0, nc - 1),
+                    (_au(i, nlog - 1) > 0).astype(np.int32),
+                )
+            n_open = len(rep.open_nodes)
+            for oi, (olo, ohi, prec) in enumerate(rep.open_nodes):
                 # the parent's rigorous bound transfers to its children
                 pb = float(audit.rec_pb[prec]) if prec >= 0 else float(pb0)
                 if pb >= task.best - eps_t:
                     continue
-                task.nodes.append((olo, ohi, None, None, pb))
+                rt_n = 0
+                if rep.pending and oi == n_open - 1:
+                    # the node the lane was actively solving at its tick
+                    # stop: resume from the lane's FINAL basis (lock-step
+                    # ticking guarantees per-visit pivot progress, so this
+                    # terminates; the retry count still rides along)
+                    wb_n, wa_n = fb_i, fa_i
+                    rt_n = root_rt
+                elif prec >= 0:
+                    # unexplored sibling: warm from its parent record
+                    wb_n = np.clip(
+                        lgb_d[i, prec, :m].astype(np.int32), 0, nc - 1
+                    )
+                    wa_n = (_au(i, prec) > 0).astype(np.int32)
+                else:
+                    wb_n, wa_n = root_wb, root_wa
+                task.nodes.append((olo, ohi, wb_n, wa_n, pb, rt_n))
                 self.frag_stats["reopened"] += 1
 
     def _host_resolve_node(self, task, nlo, nhi, warm_basis=None, warm_atup=None):
@@ -1147,8 +1281,16 @@ class WaveLexBackend:
         dn_hi = np.asarray(nhi, dtype=np.float64).copy()
         dn_hi[jloc] = fl
         pb = float(bound)
-        dn = (np.asarray(nlo, dtype=np.float64).copy(), dn_hi, None, None, pb)
-        up = (up_lo, np.asarray(nhi, dtype=np.float64).copy(), None, None, pb)
+        # children restart warm from this node's exact optimal basis
+        wb_c = wa_c = None
+        if r.in_basis is not None:
+            wb_c = np.flatnonzero(r.in_basis).astype(np.int32)
+            if wb_c.shape[0] != self.m:
+                wb_c = None
+            else:
+                wa_c = (r.at_upper[: self.n + self.m] > 0).astype(np.int32)
+        dn = (np.asarray(nlo, dtype=np.float64).copy(), dn_hi, wb_c, wa_c, pb, 0)
+        up = (up_lo, np.asarray(nhi, dtype=np.float64).copy(), wb_c, wa_c, pb, 0)
         if r.x[jloc] - fl > 0.5:  # DFS toward the LP value: nearer child on top
             task.nodes.append(dn)
             task.nodes.append(up)

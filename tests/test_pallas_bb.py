@@ -24,6 +24,7 @@ from moip_aira_tpu.solver.pallas_bb import (
     F_ACTION,
     F_DIR,
     F_FL,
+    F_ITERS,
     F_J,
     F_OBJ,
     F_STATUS,
@@ -214,3 +215,65 @@ def test_replay_mirrors_kernel_boxes():
     assert len(rep.open_nodes) == 1
     olo, ohi, parent = rep.open_nodes[0]
     assert olo[1] == 3 and ohi[1] == 5 and parent == 0
+
+
+def test_warm_root_matches_cold_and_pivots_less():
+    """A fragment root warm-started from the exact optimal basis must claim
+    the same root LP (status/objective) as a cold root, with (far) fewer
+    simplex iterations, and the whole warm fragment must stay exact."""
+    A, lo, hi, cobj = make_knapsack(7, n=12, n_rows=2)
+    m, n = A.shape
+    W = np.hstack([A, -np.eye(m)])
+    ws = SimplexWorkspace(A)
+    # exact root basis from the host LP
+    r0 = solve_lp(ws, cobj, lo, hi)
+    assert r0.status == SolveStatus.OPTIMAL
+    wb = np.flatnonzero(r0.in_basis).astype(np.int32)
+    assert wb.shape[0] == m
+    wa = (r0.at_upper[: n + m] > 0).astype(np.int32)
+
+    B = 8
+    fn, meta = make_pallas_bb_batch(
+        W.astype(np.float32), np.ones(n, np.float32), B, F=16, D=16,
+        interpret=True,
+    )
+    c = np.concatenate([cobj, np.zeros(m)])
+    tile = lambda a: jnp.asarray(np.tile(a, (B, 1)), jnp.float32)
+    par = np.zeros((B, 4), np.float32)
+    par[:, 0] = 1e30
+    par[:, 1] = 1.0
+    par[:, 2] = 16
+    par[0, 3] = 1.0  # lane 0: cold
+    par[1, 3] = 1.0  # lane 1: warm
+    wb_in = np.full((B, m), -1, np.int32)
+    wa_in = np.zeros((B, n + m), np.int32)
+    wb_in[1] = wb
+    wa_in[1] = wa
+    out = fn(
+        tile(c), tile(lo), tile(hi), jnp.asarray(par),
+        jnp.asarray(wb_in), jnp.asarray(wa_in),
+    )
+    lgs = np.asarray(out["lg_scal"])
+    iters = np.asarray(out["iters"])
+    # both lanes log the same root claim
+    assert int(lgs[0, 0, F_STATUS]) == 0 and int(lgs[1, 0, F_STATUS]) == 0
+    assert float(lgs[1, 0, F_OBJ]) == pytest.approx(
+        float(lgs[0, 0, F_OBJ]), abs=1e-3
+    )
+    # the warm root re-uses the optimal basis: first node needs ~0 pivots
+    assert int(lgs[1, 0, F_ITERS]) <= 2, int(lgs[1, 0, F_ITERS])
+    assert int(lgs[1, 0, F_ITERS]) < int(lgs[0, 0, F_ITERS])
+    # warm lane exactness: replay + incumbent + closure vs host reference
+    nlog1 = int(np.asarray(out["nlog"])[1])
+    rep1 = bb_audit.replay_lane(lo[:n], hi[:n], lgs[1], nlog1)
+    ref = solve_mip(ws, cobj, lo, hi, np.ones(n, bool), True)
+    best1 = float(np.asarray(out["best"])[1])
+    vals = [best1]
+    for olo, ohi, _ in rep1.open_nodes:
+        rr = solve_mip(
+            ws, cobj, np.concatenate([olo, lo[n:]]),
+            np.concatenate([ohi, hi[n:]]), np.ones(n, bool), True,
+        )
+        if rr.status == SolveStatus.OPTIMAL:
+            vals.append(rr.obj)
+    assert min(vals) == pytest.approx(ref.obj, abs=1e-6)
