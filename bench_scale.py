@@ -108,7 +108,12 @@ def _alarm(_s, _f):
 
 
 def run_one(
-    name: str, backend: str, budget: int, workers: int, split: bool = False
+    name: str,
+    backend: str,
+    budget: int,
+    workers: int,
+    split: bool = False,
+    single: bool = False,
 ) -> dict:
     from moip_aira_tpu.api import solve_front
     from moip_aira_tpu.io import read_problem
@@ -120,12 +125,16 @@ def run_one(
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(budget)
     try:
-        # warm-up: compile the kernels for this problem shape (the axon
-        # compile service is 10-600 s; the reference's CPLEX pays no such
-        # one-off tax, so the timed run is the warm steady state)
-        t0 = time.monotonic()
-        solve_front(p, n_workers=workers, backend=backend, split=split)
-        row["warmup_s"] = round(time.monotonic() - t0, 1)
+        if not single:
+            # warm-up: compile the kernels for this problem shape (the axon
+            # compile service is 10-600 s; the reference's CPLEX pays no such
+            # one-off tax, so the timed run is the warm steady state)
+            t0 = time.monotonic()
+            solve_front(p, n_workers=workers, backend=backend, split=split)
+            row["warmup_s"] = round(time.monotonic() - t0, 1)
+        else:
+            # long instances: one timed run, compile tax included (noted)
+            row["backend"] += "+cold"
         t0 = time.monotonic()
         res = solve_front(p, n_workers=workers, backend=backend, split=split)
         row["elapsed_s"] = round(time.monotonic() - t0, 1)
@@ -206,6 +215,11 @@ def main(argv=None) -> int:
         " synergistic workers cap at objcnt!)",
     )
     ap.add_argument(
+        "--single", action="store_true",
+        help="skip the warm-up run: one timed run incl. compile (for long"
+        " instances where a double run would blow the budget)",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="pin jax to CPU (the JAX_PLATFORMS env var is ignored under "
         "the axon TPU plugin; this uses jax.config before first use)",
@@ -224,7 +238,10 @@ def main(argv=None) -> int:
 
     for name in args.sizes:
         print(f"[bench_scale] {name} ({args.backend}) ...", flush=True)
-        row = run_one(name, args.backend, args.budget, args.workers, args.split)
+        row = run_one(
+            name, args.backend, args.budget, args.workers, args.split,
+            args.single,
+        )
         rows[name] = row
         print(f"[bench_scale] {json.dumps(row)}", flush=True)
         with open(jpath, "w") as fh:
