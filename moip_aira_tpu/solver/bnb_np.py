@@ -108,8 +108,12 @@ def solve_mip(
 
     prune_eps = INT_TOL if integral_objective else 1e-9
 
-    # node stack holds (lo_x_over, hi_x_over) overrides for integer vars only
-    stack = [(lo[: ws.n].copy(), hi[: ws.n].copy())]
+    # node stack holds (lo_x_over, hi_x_over, warm_basis, warm_at_upper);
+    # children restart from the parent's optimal basis — on the degenerate
+    # assignment family a cold phase-1 burns hundreds of pivots per node
+    # where the parent basis re-attains feasibility in a handful (solve_lp
+    # validates the basis and silently falls back to cold when it loses)
+    stack = [(lo[: ws.n].copy(), hi[: ws.n].copy(), None, None)]
     nodes = 0
     lo_full = lo.copy()
     hi_full = hi.copy()
@@ -118,10 +122,10 @@ def solve_mip(
         nodes += 1
         if nodes > max_nodes:
             return MIPResult(SolveStatus.NODE_LIMIT, best_obj, best_x)
-        node_lo, node_hi = stack.pop()
+        node_lo, node_hi, wb, wa = stack.pop()
         lo_full[: len(node_lo)] = node_lo
         hi_full[: len(node_hi)] = node_hi
-        r = solve_lp(ws, c, lo_full, hi_full)
+        r = solve_lp(ws, c, lo_full, hi_full, warm_basis=wb, warm_at_upper=wa)
         if r.status == SolveStatus.INFEASIBLE:
             continue
         if r.status == SolveStatus.UNBOUNDED:
@@ -201,8 +205,15 @@ def solve_mip(
         j = int(int_idx[worst])
         v = x[j]
         fl = math.floor(v + INT_TOL)
-        dn = (child_lo.copy(), _set(child_hi, j, fl))
-        up = (_set(child_lo, j, fl + 1), child_hi.copy())
+        cwb = cwa = None
+        if r.in_basis is not None:
+            cwb = np.flatnonzero(r.in_basis)
+            if cwb.shape[0] == ws.m and r.at_upper is not None:
+                cwa = r.at_upper.copy()
+            else:
+                cwb = None
+        dn = (child_lo.copy(), _set(child_hi, j, fl), cwb, cwa)
+        up = (_set(child_lo, j, fl + 1), child_hi.copy(), cwb, cwa)
         # DFS toward the LP value: explore the nearer child first (on top)
         if v - fl > 0.5:
             stack.append(dn)

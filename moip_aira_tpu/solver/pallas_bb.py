@@ -899,6 +899,10 @@ def make_pallas_bb_batch(
 
         it0 = jnp.int32(0)
         n0 = jnp.sum((mode[:, 0] != MODE_DONE).astype(jnp.int32))
+        # NOTE: a straggler early-stop (end the wave once few lanes remain
+        # live) was measured on 2AP20 and LOST: the tail lanes genuinely
+        # need the ticks, and cutting them converts device ticks into
+        # dispatch round trips + audit resumes (117 s -> 153-190 s).
         jax.lax.while_loop(
             lambda cr: (cr[1] > 0) & (cr[0] < max_ticks), body, (it0, n0)
         )
@@ -958,6 +962,11 @@ def make_pallas_bb_batch(
             jax.ShapeDtypeStruct((NB, m_p), jnp.int32),  # final basis
             jax.ShapeDtypeStruct((NB, PW), jnp.float32),  # final at-upper
         ),
+        # raise the scoped-VMEM ceiling: XLA places the custom call's full
+        # output tuple (logs at (NB, F, ·)) in VMEM on top of the kernel's
+        # scratch, and the default 16 MB limit OOMs mid-size shapes (2AP20:
+        # 19 MB) even though v5e has 128 MB of VMEM per core
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         scratch_shapes=[
             pltpu.VMEM((B, m_p, m_p), jnp.float32),  # BI
             pltpu.VMEM((B, m_p, m_p), jnp.float32),  # P1 (warm GJ)

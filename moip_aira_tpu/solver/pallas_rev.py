@@ -593,6 +593,10 @@ def make_pallas_rev_batch(
             jax.ShapeDtypeStruct((NB, nc_p), jnp.int32),  # at_upper
             jax.ShapeDtypeStruct((NB, 128), jnp.int32),  # iters
         ),
+        # raise the scoped-VMEM ceiling (see pallas_bb.py): XLA may place
+        # the full output tuple in VMEM on top of the kernel's scratch, and
+        # the default 16 MB scoped limit OOMs mid-size shapes
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         scratch_shapes=[
             pltpu.VMEM((B, m_p, m_p), jnp.float32),  # BI
             pltpu.VMEM((B, m_p, m_p), jnp.float32),  # P1

@@ -350,6 +350,7 @@ class WaveLexBackend:
         self.frag_stats = {
             "records": 0, "host_recs": 0, "reopened": 0, "resumed": 0,
             "lanes": 0, "waves": 0, "warm": 0,
+            "dev_iters": 0, "max_iters": 0, "ticked_out": 0,
             "why": {"iterlim": 0, "infeas": 0, "prune": 0, "leaf": 0},
         }
         import os as _os
@@ -367,16 +368,29 @@ class WaveLexBackend:
             self._verifier = LPVerifier(np.asarray(W_np, dtype=np.float64))
         self._frag_F = frag_nodes
         self.frag_batch = self.batch_width
+        #: device visits a node may consume (warm continuation each time)
+        #: before its resolution falls back to the exact host LP.  Default 0
+        #: — measured (2AP20): every ITERLIM record had burned its FULL
+        #: per-node budget (f32 degenerate stall, not budget starvation),
+        #: device revisits never finish those LPs, and the exact host LP
+        #: warm-started from the stopped basis takes ~2 ms.  retries=0 ran
+        #: 90 s vs 117 s (retry=1) vs 260 s (retry=3).
+        self._retry_max = int(_os.environ.get("MOIP_FRAG_RETRIES", "0"))
         # tick budget: a cold LP needs ~2-4m pivots, so give each of the F
         # nodes ~6m ticks (plus the 8192 floor the small shapes used);
         # lanes that still run out are re-opened by the audit — ticks only
         # bound one device call's duration, not correctness
         max_ticks = max(8192, frag_nodes * 6 * self.m)
-        # per-node iteration cap: degenerate cold LPs (assignment rows) can
-        # legitimately burn many hundreds of pivots; warm-rooted children
-        # need a handful.  A cap that cold roots keep hitting turns into an
-        # exact host LP per node — far worse than longer device ticks.
-        node_iters = max(1500, 100 * self.m)
+        # per-node iteration cap: warm-rooted children need a handful of
+        # pivots; a node that hasn't solved in ~6m is in an f32 degenerate
+        # stall and will burn ANY budget (measured 2AP20: every ITERLIM
+        # record hit the full former 100*m cap, at ~0.3 s of lock-step wave
+        # time each, while the exact host LP finishes those same nodes
+        # warm-started in ~2 ms).  Bail early; the audit re-opens the node
+        # to the host path.  MOIP_FRAG_NODE_ITERS overrides.
+        node_iters = int(
+            _os.environ.get("MOIP_FRAG_NODE_ITERS", str(max(200, 6 * self.m)))
+        )
         W_sc = np.asarray(W_np, dtype=np.float64).copy()
         W_sc[:, : self.n] *= self._row_scale[:, None]  # [diag(s)A | -I]
         self._frag_fn, self._frag_meta = make_pallas_bb_batch(
@@ -507,12 +521,14 @@ class WaveLexBackend:
                 np.vstack([self.problem.A, self.problem.C])
             )
         from moip_aira_tpu.solver.simplex_np import solve_lp
+        from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
         self.verify_fallbacks += 1
-        return solve_lp(
-            self._ws, c_struct, lo, hi,
-            warm_basis=warm_basis, warm_at_upper=warm_at_upper,
-        )
+        with GLOBAL_TIMINGS.span("host.exact_lp"):
+            return solve_lp(
+                self._ws, c_struct, lo, hi,
+                warm_basis=warm_basis, warm_at_upper=warm_at_upper,
+            )
 
     # -- wave submit / complete --------------------------------------------
     def _submit_wave(self, active: List[_StageTask]):
@@ -929,6 +945,9 @@ class WaveLexBackend:
                 f"reopen={self.frag_stats['reopened']} "
                 f"resume={self.frag_stats['resumed']} "
                 f"warm={self.frag_stats['warm']} "
+                f"iters={self.frag_stats['dev_iters']} "
+                f"maxit={self.frag_stats['max_iters']} "
+                f"tickout={self.frag_stats['ticked_out']} "
                 f"why={self.frag_stats['why']}\n"
             )
         with jax.enable_x64(False):
@@ -961,12 +980,20 @@ class WaveLexBackend:
         wave, nb, out = submitted
         with GLOBAL_TIMINGS.span("wave.device_frag"):
             # ONE device->host transfer for all outputs (tunnel latency)
-            nlog_d, lgs_d, lgb_d, lga_d, fb_d, fa_d = jax.device_get(
+            nlog_d, lgs_d, lgb_d, lga_d, fb_d, fa_d, it_d, ls_d = jax.device_get(
                 (
                     out["nlog"], out["lg_scal"], out["lg_basis"],
                     out["lg_atup"], out["fin_basis"], out["fin_atup"],
+                    out["iters"], out["lstate"],
                 )
             )
+        it_nb = np.asarray(it_d)[:nb]
+        self.frag_stats["dev_iters"] += int(it_nb.sum())
+        self.frag_stats["max_iters"] = max(
+            self.frag_stats["max_iters"], int(it_nb.max()) if nb else 0
+        )
+        ls_nb = np.asarray(ls_d)[:nb]
+        self.frag_stats["ticked_out"] += int((ls_nb == 3).sum())  # LS_TICKS
         self.device_waves += 1
         n, m = self.n, self.m
         nc = n + m
@@ -1144,12 +1171,12 @@ class WaveLexBackend:
             if nlog == 0:
                 # tick limit mid-first-LP: resume the root from the lane's
                 # FINAL basis (the partial pivoting is not wasted); a box
-                # that failed a device visit before goes to the exact host
+                # that keeps failing device visits goes to the exact host
                 # step instead — bounded retries, so always terminating
                 for olo, ohi, _prec in rep.open_nodes:
-                    if root_rt == 0:
+                    if root_rt < self._retry_max:
                         task.nodes.append(
-                            (olo, ohi, fb_i, fa_i, float(pb0), 1)
+                            (olo, ohi, fb_i, fa_i, float(pb0), root_rt + 1)
                         )
                         self.frag_stats["resumed"] += 1
                     else:
@@ -1188,9 +1215,14 @@ class WaveLexBackend:
                         )
                 wb_t = np.clip(lgb_d[i, t, :m].astype(np.int32), 0, nc - 1)
                 wa_t = _au(i, t) > 0
-                if act_t == 4 and root_rt == 0:  # ACT_ITERLIM, first failure
+                if act_t == 4 and root_rt < self._retry_max:  # ACT_ITERLIM
                     # requeue to the device: the record's basis is exactly
-                    # where the LP stopped, so the solve CONTINUES there
+                    # where the LP stopped, so the solve CONTINUES there.
+                    # Several warm device visits (each node_iters pivots)
+                    # beat one exact host LP: the host simplex on a garbage
+                    # mid-solve basis measures ~90 ms/call (2AP20) and the
+                    # endgame degenerates into a host-LP crawl without the
+                    # retry headroom.
                     pb_t = float(audit.rec_pb[t])
                     if not np.isfinite(pb_t):
                         pb_t = float(pb0)
@@ -1198,7 +1230,7 @@ class WaveLexBackend:
                         task.nodes.append(
                             (
                                 rep.node_lo[t].copy(), rep.node_hi[t].copy(),
-                                wb_t, wa_t.astype(np.int32), pb_t, 1,
+                                wb_t, wa_t.astype(np.int32), pb_t, root_rt + 1,
                             )
                         )
                         self.frag_stats["resumed"] += 1
