@@ -130,8 +130,33 @@ class MeshScheduler:
         self.rounds = 0
         self.batch_sizes: List[int] = []
         self.exchanged_boxes = 0
+        #: boxes that exceeded the per-round slot budget and were DEFERRED
+        #: to the next round (cumulative; round-2's silent truncation —
+        #: `new_boxes[d][:S]` dropped the tail outright — is fixed by the
+        #: per-domain carry queues below)
+        self.carried_boxes = 0
         self.severed = 0
         self._ex_fn = None
+        self._carry: List[np.ndarray] = []
+        #: collective array rows per domain: must fit every worker's ROUND-1
+        #: solved value (the pmin/pmax ideal-point leg), independent of the
+        #: per-round box quota `slots` (run() sizes it)
+        self._ex_slots = slots
+
+    def _drain_pending(self, d: int, new: np.ndarray) -> np.ndarray:
+        """Queue `new` boxes behind domain d's carried backlog and return
+        at most `slots` to ship this round; the remainder carries over
+        (counted in `carried_boxes`) so every box eventually propagates."""
+        k = self.problem.objcnt
+        while len(self._carry) <= d:
+            self._carry.append(np.zeros((0, k)))
+        pend = (
+            np.vstack([self._carry[d], new]) if len(self._carry[d]) else new
+        )
+        send = pend[: self.slots]
+        self._carry[d] = pend[self.slots :]
+        self.carried_boxes += len(self._carry[d])
+        return send
 
     # -- collective plumbing ------------------------------------------------
     def _exchange_round(
@@ -146,7 +171,7 @@ class MeshScheduler:
 
         k = self.problem.objcnt
         D = self.mesh.size
-        S = self.slots
+        S = self._ex_slots
         if self._ex_fn is None:
             self._ex_fn = make_bound_exchange(self.mesh, k, S)
         boxes = np.zeros((D * S, k), dtype=np.float64)
@@ -193,8 +218,10 @@ class MeshScheduler:
         groups = partition_specs(specs, min(D, len(specs)))
         self.severed = sever_cross_domain_cells(groups)
         # round 1 must carry every worker's first solve through the
-        # pmin/pmax leg for the ideal point to be exact
-        self.slots = max(self.slots, max(len(g) for g in groups))
+        # pmin/pmax leg for the ideal point to be exact (the BOX quota
+        # `slots` is independent: boxes beyond it carry over to later
+        # rounds via _drain_pending)
+        self._ex_slots = max(self.slots, max(len(g) for g in groups))
 
         # per-domain stores: domain feasible store + domain infeasibles
         dom_store = [Solutions(k) for _ in groups]
@@ -242,11 +269,12 @@ class MeshScheduler:
                 new_boxes = []
                 for d, s in enumerate(dom_inf):
                     lo_i = inf_sizes[d]
-                    new_boxes.append(
-                        np.array(s._ips[lo_i : len(s)], dtype=np.float64).reshape(
-                            -1, k
-                        )
-                    )
+                    fresh = np.array(
+                        s._ips[lo_i : len(s)], dtype=np.float64
+                    ).reshape(-1, k)
+                    # at most `slots` ship per round; the rest queues for
+                    # the next round instead of being dropped (r2 weak #5)
+                    new_boxes.append(self._drain_pending(d, fresh))
                 vals_in = [
                     np.array(v, dtype=np.float64).reshape(-1, k)
                     for v in round_vals
@@ -254,7 +282,7 @@ class MeshScheduler:
                 boxes, flags, (lo, hi) = self._exchange_round(new_boxes, vals_in)
                 # merge foreign infeasible boxes into every domain
                 for row in np.flatnonzero(flags == 1):
-                    src_dom = int(row) // self.slots
+                    src_dom = int(row) // self._ex_slots
                     for d in range(len(groups)):
                         if d == src_dom:
                             continue

