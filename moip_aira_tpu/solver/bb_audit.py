@@ -182,8 +182,15 @@ def audit_records(
         if act == ACT_BRANCH:
             continue  # no closure claimed; children tracked by the replay
         if act == ACT_ITERLIM:
-            host_recs.append(t)
-            why["iterlim"] += 1
+            # the lane abandoned this node mid-LP, but its logged basis
+            # still certifies a rigorous ANY-y dual bound (verify.py) — if
+            # that already clears the incumbent, the node closes WITHOUT
+            # finishing its LP (round-3: iterlim was ~75% of host records)
+            if np.isfinite(rec_pb[t]) and rec_pb[t] >= final_best - eps:
+                confirmed += 1
+            else:
+                host_recs.append(t)
+                why["iterlim"] += 1
             continue
         if act == ACT_INFEAS:
             if box_empty[t] or dual_lb[t] == np.inf:

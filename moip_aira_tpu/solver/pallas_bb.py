@@ -119,6 +119,11 @@ def make_pallas_bb_batch(
     """
     m, nc = W_np.shape
     n = nc - m
+    # the noise-stall exit must be reachable BEFORE the per-node iteration
+    # cap, or every degenerate stall burns its full budget and lands on the
+    # host as ITERLIM instead of claiming OPTIMAL (which certifies, or at
+    # worst costs the same host LP): cap it at half the node budget.
+    stall_exit = min(STALL_EXIT, max(60, node_iters // 2))
     m_p = _round_up(m, 8)
     nc_p = _round_up(n + m_p, 128)
     PW = _round_up(-(-nc_p // 16), 128)  # packed at-upper words
@@ -658,7 +663,7 @@ def make_pallas_bb_batch(
                 (lp_new == RUNNING)
                 & stepping0
                 & ~phase1
-                & (stall[:, 0] >= STALL_EXIT),
+                & (stall[:, 0] >= stall_exit),
                 OPTIMAL,
                 lp_new,
             )

@@ -377,7 +377,10 @@ def solve_lp_batch(
         do_flip = np.flatnonzero(step & ~row_blocks)
         do_piv = np.flatnonzero(step & row_blocks)
         stepm = step  # for the masked xB update below
-        xB = np.where(stepm[:, None], xB + eta * theta[:, None], xB)
+        # non-stepping lanes may carry theta=inf junk; zero it so the masked
+        # branch does not manufacture inf*0 NaN warnings
+        theta_sane = np.where(stepm & np.isfinite(theta), theta, 0.0)
+        xB = np.where(stepm[:, None], xB + eta * theta_sane[:, None], xB)
         if do_flip.size:
             qf = q[do_flip]
             new_up = ~at_upper[do_flip, qf]

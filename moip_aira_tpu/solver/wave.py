@@ -54,13 +54,17 @@ FRAG_AUTO_MIN_VARS = 96
 
 
 def fragments_auto(n_vars: int, interp: bool, mesh) -> bool:
-    """The fragments='auto' decision (unit-tested; see _init_fragments)."""
+    """The fragments='auto' decision (unit-tested; see _init_fragments).
+
+    The mesh no longer disables fragments (round-2 weak #6): the fragment
+    kernel shards over the mesh batch axis exactly like the per-LP kernel.
+    """
     import os
 
     env = os.environ.get("MOIP_FRAGMENTS")
     if env is not None and env != "":
         return bool(int(env))
-    return (not interp) and mesh is None and n_vars >= FRAG_AUTO_MIN_VARS
+    return (not interp) and n_vars >= FRAG_AUTO_MIN_VARS
 
 
 class _StageTask:
@@ -390,6 +394,9 @@ class WaveLexBackend:
             self._verifier = LPVerifier(np.asarray(W_np, dtype=np.float64))
         self._frag_F = frag_nodes
         self.frag_batch = self.batch_width
+        frag_per_dev = self.batch_width // (
+            self.mesh.size if self.mesh is not None else 1
+        )
         #: device visits a node may consume (warm continuation each time)
         #: before its resolution falls back to the exact host LP.  Default 0
         #: — measured (2AP20): every ITERLIM record had burned its FULL
@@ -418,13 +425,36 @@ class WaveLexBackend:
         self._frag_fn, self._frag_meta = make_pallas_bb_batch(
             np.asarray(W_sc, dtype=np.float32),
             np.asarray(self.problem.is_int, dtype=np.float32),
-            self.frag_batch,
+            frag_per_dev,
             F=frag_nodes,
             D=frag_depth,
             node_iters=node_iters,
             max_ticks=max(max_ticks, 2 * node_iters),
             interpret=interp,
         )
+        if self.mesh is not None:
+            # shard the fragment kernel over the mesh batch axis, exactly
+            # like the per-LP kernel above — one kernel invocation per chip,
+            # host audit unchanged (it sees the gathered global outputs)
+            from moip_aira_tpu.parallel.mesh import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            axes = tuple(self.mesh.axis_names)
+            b1 = P(axes)
+            b2 = P(axes, None)
+            b3 = P(axes, None, None)
+            out_specs = dict(
+                best=b1, bestx=b2, nlog=b1, lstate=b1, iters=b1,
+                lg_scal=b3, lg_basis=b3, lg_atup=b3,
+                fin_basis=b2, fin_atup=b2,
+            )
+            self._frag_fn = shard_map(
+                self._frag_fn,
+                mesh=self.mesh,
+                in_specs=(b2, b2, b2, b2, b2, b2),
+                out_specs=out_specs,
+                check_rep=False,
+            )
 
     # -- stage plumbing ----------------------------------------------------
     def _stage_task(self, req_idx, stage, perm, srhs, x_warm=None) -> _StageTask:
@@ -1023,7 +1053,7 @@ class WaveLexBackend:
         import os as _os
 
         from moip_aira_tpu.solver.pallas_bb import (
-            ACT_BRANCH, ACT_INFEAS, ACT_LEAF, ACT_PRUNE,
+            ACT_BRANCH, ACT_INFEAS, ACT_ITERLIM, ACT_LEAF, ACT_PRUNE,
             F_ACTION, F_FL, F_ITERS, F_J, F_STATUS,
         )
         from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
@@ -1106,9 +1136,11 @@ class WaveLexBackend:
         # ---- 2. batched rigorous certification — load-bearing records ONLY.
         # BRANCH never claims a closure (branching is unconditionally sound;
         # its certificate would only sharpen the optional parent-bound
-        # submit filter) and ITERLIM is always host-resolved, so only
-        # PRUNE/LEAF/INFEAS records need certificates — typically half the
-        # log, and host certification is the fragment path's dominant cost.
+        # submit filter), so PRUNE/LEAF/INFEAS records need certificates —
+        # and ITERLIM records are certified too: an abandoned node's logged
+        # basis still yields a valid any-y dual bound, which often closes
+        # the node outright (the alternative is an exact host LP, the
+        # audit's dominant cost).
         leaf_okR = np.zeros(R, dtype=bool)
         stR = np.zeros(R, dtype=np.int32)
         actR = np.zeros(R, dtype=np.int32)
@@ -1124,7 +1156,12 @@ class WaveLexBackend:
                 r0, r1 = lane_rows[i]
                 actR[r0:r1] = lgs_d[i, : r1 - r0, F_ACTION].astype(np.int32)
                 stR[r0:r1] = lgs_d[i, : r1 - r0, F_STATUS].astype(np.int32)
-            need = (actR == ACT_PRUNE) | (actR == ACT_LEAF) | (actR == ACT_INFEAS)
+            need = (
+                (actR == ACT_PRUNE)
+                | (actR == ACT_LEAF)
+                | (actR == ACT_INFEAS)
+                | (actR == ACT_ITERLIM)
+            )
             sel = np.flatnonzero(need)
             S = sel.size
             inv[sel] = np.arange(S)
@@ -1156,9 +1193,16 @@ class WaveLexBackend:
                         lgb_d[i][tsel][:, :m].astype(np.int32), 0, nc - 1
                     )
                     auS[ps] = up1(lga_d[i][tsel]) > 0
+                # ITERLIM rows carry a mid-LP status; present them to the
+                # verifier as OPTIMAL claims so the any-y dual bound (valid
+                # for ARBITRARY bases) is computed — their `ok` flag is
+                # never consulted (only LEAF rows read okR)
+                stR_eff = np.where(
+                    actR[sel] == ACT_ITERLIM, sx.OPTIMAL, stR[sel]
+                ).astype(np.int32)
                 with GLOBAL_TIMINGS.span("wave.certify"):
                     cert = self._verifier.certify(
-                        cS, loS, hiS, stR[sel], bS, auS
+                        cS, loS, hiS, stR_eff, bS, auS
                     )
                 dualR[sel] = cert.dual_bound
                 okR[sel] = cert.ok

@@ -74,3 +74,86 @@ def test_merge():
     b.insert([INF, INF], [3, 4], False)
     a.merge(b)
     assert len(a) == 2 and len(b) == 0
+
+
+def _brute_find(s, q, sense):
+    """Insertion-order linear scan — the reference semantics oracle
+    (solutions.cpp:17-47) the index must agree with on HIT/MISS + kind."""
+    n = len(s)
+    ips = s._ips[:n]
+    res = s._results[:n]
+    inf = s._infeasible[:n]
+    if sense is Sense.MIN:
+        t1 = (ips >= q).all(axis=1)
+        t3 = (res <= q).all(axis=1)
+    else:
+        t1 = (ips <= q).all(axis=1)
+        t3 = (res >= q).all(axis=1)
+    hit = t1 & (inf | t3)
+    idx = np.flatnonzero(hit)
+    if idx.size == 0:
+        return None
+    return bool(inf[idx].any()), bool((~inf[idx]).any())
+
+
+def test_index_matches_bruteforce_fuzz():
+    """The dominance-antichain index answers exactly like the raw scan:
+    same hit/miss, and the hit kind is one the raw scan could produce.
+    (Result-vector identity across different hits is guaranteed only for
+    semantically consistent data — pinned by the golden/differential
+    tests — so the fuzz checks hit semantics.)"""
+    rng = np.random.default_rng(3)
+    for k in (2, 3):
+        s = Solutions(k)
+        for _ in range(300):
+            ip = np.where(rng.random(k) < 0.3, INF, rng.integers(0, 60, k)).astype(float)
+            if rng.random() < 0.4:
+                s.insert(ip, None, True)
+            else:
+                s.insert(ip, rng.integers(0, 50, k), False)
+            if rng.random() < 0.5:
+                q = np.where(
+                    rng.random(k) < 0.2, INF, rng.integers(0, 60, k)
+                ).astype(float)
+                for sense in (Sense.MIN, Sense.MAX):
+                    got = s.find(q, sense)
+                    want = _brute_find(s, q, sense)
+                    assert (got is None) == (want is None)
+                    if got is not None:
+                        had_inf, had_feas = want
+                        assert (got.infeasible and had_inf) or (
+                            not got.infeasible and had_feas
+                        )
+
+
+def test_index_sublinear_scaling():
+    """VERDICT r3 #6 done-criterion: query cost must not grow linearly with
+    the store.  Front-shaped data (few distinct result vectors — what AIRA
+    stores actually hold): find at 64k entries must stay within 8x of find
+    at 1k (the raw O(n) scan would be ~64x)."""
+    import time
+
+    def build_and_time(n):
+        rng = np.random.default_rng(1)
+        s = Solutions(2)
+        s.insert(np.array([1e6, 1e6]), None, True)
+        s.find(np.array([1e9, 1e9]), Sense.MIN)  # fix sense -> index on
+        front = np.column_stack(
+            [np.arange(128) * 37 % 9000, 9000 - np.arange(128) * 53 % 9000]
+        )
+        for i in range(n):
+            r = front[i % 128]
+            ip = r + rng.integers(0, 30, 2)
+            if i % 2:
+                s.insert(ip.astype(float) - 100, None, True)
+            else:
+                s.insert(ip.astype(float), r, False)
+        qs = rng.integers(0, 10000, (2000, 2)).astype(float)
+        t0 = time.perf_counter()
+        for q in qs:
+            s.find(q, Sense.MIN)
+        return time.perf_counter() - t0
+
+    t_small = build_and_time(1000)
+    t_big = build_and_time(64000)
+    assert t_big < 8 * t_small + 0.05, (t_small, t_big)

@@ -72,6 +72,27 @@ def test_fragment_auto_off_on_cpu():
     assert not be.fragments
 
 
+def test_fragment_wave_mesh_sharded():
+    """Fragments compose with the mesh (VERDICT r2 weak #6): the fragment
+    kernel shard_maps over the batch axis of an 8-virtual-device CPU mesh
+    and the front stays golden."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from moip_aira_tpu.parallel.mesh import make_mesh
+
+    p = read_problem(f"{EXAMPLES}/2AP05.lp")
+    mesh = make_mesh(8)
+    be = WaveLexBackend(p, fragments=True, batch_width=64, mesh=mesh)
+    assert be.fragments
+    front = solve_front(p, n_workers=2, backend=be)
+    ref = solve_front(p, n_workers=2, backend="numpy")
+    assert np.array_equal(front.points, ref.points)
+    assert len(front.points) == 9
+    assert be.frag_stats["records"] > 0  # the sharded kernel did the work
+
+
 def test_fragments_auto_size_gate(monkeypatch):
     """The auto decision: fragments only on real TPU, no mesh, and DEEP
     trees (>= FRAG_AUTO_MIN_VARS integer vars) — the round-2 bench regressed
@@ -84,7 +105,8 @@ def test_fragments_auto_size_gate(monkeypatch):
     # large instance (2AP20: n=400): on, on a real TPU without a mesh
     assert fragments_auto(400, interp=False, mesh=None)
     assert not fragments_auto(400, interp=True, mesh=None)  # CPU interpret
-    assert not fragments_auto(400, interp=False, mesh=object())  # mesh path
+    # a mesh no longer disables fragments (the kernel shard_maps over it)
+    assert fragments_auto(400, interp=False, mesh=object())
     assert fragments_auto(FRAG_AUTO_MIN_VARS, interp=False, mesh=None)
     # env override wins both ways
     monkeypatch.setenv("MOIP_FRAGMENTS", "1")
