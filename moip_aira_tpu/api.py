@@ -107,6 +107,7 @@ def solve_front(
     mesh_devices=None,
     solver_threads: int = 1,
     dp: str = "auto",
+    sweep: str = "auto",
 ) -> FrontResult:
     """Compute the exact nondominated set of ``problem``.
 
@@ -150,6 +151,42 @@ def solve_front(
         problem, backend, mesh_devices=mesh_devices,
         solver_threads=solver_threads,
     )
+
+    # ``sweep``: the adaptive parallel bound sweep (solver/sweep.py) — the
+    # TPU-shaped k=2 front driver.  The AIRA epsilon ladder is one DEPENDENT
+    # lex-IP per front point, so device batches from 1-2 workers run nearly
+    # empty; the sweep solves a whole grid of objective-bound subproblems
+    # per round (exact; same lex backend) and converges in ~front/batch
+    # adaptive rounds.  'auto' uses it for bi-objective problems on the
+    # batch-parallel backends (wave / jax); 'off' forces the ladder (the
+    # reference-parity engine); MOIP_SWEEP overrides 'auto'.  Under a mesh
+    # the MeshScheduler owns the multi-chip enumeration, and under --split
+    # the EPP strips are the requested decomposition — both keep the ladder.
+    if sweep == "auto":
+        sweep = os.environ.get("MOIP_SWEEP", "auto")
+    use_sweep = (
+        sweep != "off"
+        and problem.objcnt == 2
+        and not split
+        and not mesh_devices
+        and getattr(be, "name", "") in ("wave", "jax")
+    ) or sweep == "on"
+    if use_sweep:
+        from moip_aira_tpu.solver.sweep import sweep_front
+
+        sw = sweep_front(
+            problem, be, batch=getattr(be, "batch_width", 64)
+        )
+        if sw is not None:
+            return FrontResult(
+                points=sw.points,
+                ip_count=sw.ip_count,
+                cpu_seconds=time.process_time() - t_cpu0,
+                elapsed_seconds=time.monotonic() - t_wall0,
+                rounds=sw.rounds,
+                batch_sizes=sw.batch_sizes,
+            )
+
     sched = Scheduler(problem, be)
     k = problem.objcnt
     all_store = make_solutions(k)

@@ -59,6 +59,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Structure-aware full-front dynamic program for "
                          "single-capacity bi-objective knapsacks (default "
                          "auto; off forces the general AIRA engine).")
+    ap.add_argument("--sweep", choices=("auto", "on", "off"), default="auto",
+                    help="Adaptive parallel bound sweep for bi-objective "
+                         "fronts (default auto: on for the batch-parallel "
+                         "wave/jax backends; off forces the AIRA ladder).")
     ap.add_argument("--stats", action="store_true", default=False,
                     help="Print scheduler/backend statistics to stderr.")
     ap.add_argument("--version", action="version",
@@ -86,6 +90,7 @@ def main(argv=None) -> int:
             mesh_devices=args.mesh,
             solver_threads=args.solver_threads,
             dp=args.dp,
+            sweep=args.sweep,
         )
     except ValueError as e:
         # e.g. split_normal worker cap (reference aira.cpp:199-204)

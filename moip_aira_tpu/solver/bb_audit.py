@@ -61,6 +61,12 @@ class LaneReplay:
     #: solving at its tick stop — its LP resumes from the lane's FINAL
     #: basis (kernel fin_basis/fin_atup outputs), not its parent's
     pending: bool = False
+    #: per-record index of the BRANCH record that created the record's
+    #: node (-1 = the fragment root).  A parent's logged basis is its
+    #: node's claimed-OPTIMAL basis — one bound change away from the
+    #: child, so it warm-starts the child's exact host LP far better
+    #: than an ITERLIM record's own mid-solve basis.
+    parent_rec: Optional[np.ndarray] = None  # (nlog,) int64
 
 
 def replay_lane(
@@ -75,6 +81,7 @@ def replay_lane(
     nvar = lo.shape[0]
     node_lo = np.empty((nlog, nvar))
     node_hi = np.empty((nlog, nvar))
+    parent_rec = np.full(nlog, -1, dtype=np.int64)
     # stack entries: [j, fl, old_lo, old_hi, down_first, state, parent_rec]
     stack: List[list] = []
     # the root is entered before the first record; if the lane stopped with
@@ -83,6 +90,8 @@ def replay_lane(
     for t in range(nlog):
         node_lo[t] = lo
         node_hi[t] = hi
+        if stack:
+            parent_rec[t] = stack[-1][6]
         act = int(recs[t, F_ACTION])
         j = int(recs[t, F_J])
         fl = float(recs[t, F_FL])
@@ -141,7 +150,8 @@ def replay_lane(
         assert np.array_equal(lo2, lo) and np.array_equal(hi2, hi)
         opens.append((lo2.copy(), hi2.copy(), last_parent))
     return LaneReplay(
-        node_lo=node_lo, node_hi=node_hi, open_nodes=opens, pending=pending
+        node_lo=node_lo, node_hi=node_hi, open_nodes=opens, pending=pending,
+        parent_rec=parent_rec,
     )
 
 

@@ -1031,8 +1031,11 @@ class WaveLexBackend:
                 f"tickout={self.frag_stats['ticked_out']} "
                 f"why={self.frag_stats['why']}\n"
             )
-        with jax.enable_x64(False):
-            out = self._frag_fn(c_buf, lo_buf, hi_buf, par, wb_buf, wa_buf)
+        from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
+
+        with GLOBAL_TIMINGS.span("frag.submit_dispatch"):
+            with jax.enable_x64(False):
+                out = self._frag_fn(c_buf, lo_buf, hi_buf, par, wb_buf, wa_buf)
         return wave, nb, out
 
     def _complete_frag_wave(self, submitted) -> None:
@@ -1318,8 +1321,30 @@ class WaveLexBackend:
                             ),
                             fh,
                         )
-                wb_t = np.clip(lgb_d[i, t, :m].astype(np.int32), 0, nc - 1)
-                wa_t = _au(i, t) > 0
+                # ITERLIM records carry a garbage MID-SOLVE basis that warm
+                # -starts the exact host LP terribly (measured ~84 ms/job on
+                # 2AP40 — effectively cold); their PARENT branch record's
+                # basis is the parent node's claimed-optimal one, a single
+                # bound change away, so use that instead.  Other failures
+                # (prune/leaf/infeas) keep their own terminal basis.
+                src_t = t
+                if act_t == 4 and rep.parent_rec is not None:
+                    pr = int(rep.parent_rec[t])
+                    if pr >= 0:
+                        src_t = pr
+                    elif root_wb is not None and root_wb[0] >= 0:
+                        # root-level iterlim: the fragment root's own warm
+                        # basis (from the certified parent that re-opened it)
+                        host_jobs.append(
+                            (
+                                task, rep.node_lo[t], rep.node_hi[t],
+                                np.asarray(root_wb, dtype=np.int32),
+                                np.asarray(root_wa) > 0,
+                            )
+                        )
+                        continue
+                wb_t = np.clip(lgb_d[i, src_t, :m].astype(np.int32), 0, nc - 1)
+                wa_t = _au(i, src_t) > 0
                 if act_t == 4 and root_rt < self._retry_max:  # ACT_ITERLIM
                     # opt-in branch (MOIP_FRAG_RETRIES>0 only; the default
                     # retries=0 measured fastest — see _retry_max): requeue
@@ -1331,10 +1356,16 @@ class WaveLexBackend:
                     if not np.isfinite(pb_t):
                         pb_t = float(pb0)
                     if pb_t < task.best - eps_t:
+                        # device resume continues from the record's OWN
+                        # stopped basis (not the parent's host-warm choice)
+                        rb_t = np.clip(
+                            lgb_d[i, t, :m].astype(np.int32), 0, nc - 1
+                        )
+                        ra_t = (_au(i, t) > 0).astype(np.int32)
                         task.nodes.append(
                             (
                                 rep.node_lo[t].copy(), rep.node_hi[t].copy(),
-                                wb_t, wa_t.astype(np.int32), pb_t, root_rt + 1,
+                                rb_t, ra_t, pb_t, root_rt + 1,
                             )
                         )
                         self.frag_stats["resumed"] += 1
