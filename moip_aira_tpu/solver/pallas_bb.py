@@ -37,6 +37,8 @@ bit-packed 16-per-f32-word via one shared (nc_p, PW) matmul.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -124,6 +126,18 @@ def make_pallas_bb_batch(
     # host as ITERLIM instead of claiming OPTIMAL (which certifies, or at
     # worst costs the same host LP): cap it at half the node budget.
     stall_exit = min(STALL_EXIT, max(60, node_iters // 2))
+    #: dual-simplex reoptimisation of warm nodes — implemented, MEASURED,
+    #: and default OFF: on 2AP20 it ran 134.2 s vs 39.9 s (host records
+    #: 3015 vs 540; iterlim 1503 vs 279, false INFEASIBLE claims 926 vs
+    #: 144).  Assignment DUALS are as degenerate as the primals — most
+    #: reduced costs sit at 0, so the f32 dual ratio test picks endless
+    #: ratio-0 pivots and the no-eligible-column infeasibility claim
+    #: misfires on d-sign noise.  A production dual needs bound-flipping
+    #: (long-step) ratio tests + Harris tolerancing to pay off here;
+    #: MOIP_DUAL=1 opts in to the simple version for experiments.  With
+    #: the flag off the traced kernel is identical to the composite
+    #: -primal one (no dual ops are emitted).
+    use_dual = os.environ.get("MOIP_DUAL", "0") == "1"
     m_p = _round_up(m, 8)
     nc_p = _round_up(n + m_p, 128)
     PW = _round_up(-(-nc_p // 16), 128)  # packed at-upper words
@@ -134,6 +148,7 @@ def make_pallas_bb_batch(
         + 11 * nc_p  # c/lo/hi/wa/clo/chi/zv-temps/bestx/inb/atup
         + 13 * m_p
         + 6 * D
+        + 10 * 128  # per-lane scalar rows (stall/lpstat/.../dmode)
         + F * (128 + m_p + PW)
     ) * 4
     bytes_shared = (m_p * nc_p + nc_p * PW) * 4
@@ -178,7 +193,7 @@ def make_pallas_bb_batch(
         # scratch
         BI, P1, xB, bl, bh, cB, cIb, basis, inb, atup,
         clo, chi, zscr,
-        stall, lpstat, lobj, niter, mode, best, ncnt, depth, restart,
+        stall, lpstat, lobj, niter, mode, best, ncnt, depth, restart, dmode,
         st_j, st_fl, st_ol, st_oh, st_state, st_dir,
     ):
         c = c_ref[...]
@@ -380,6 +395,11 @@ def make_pallas_bb_batch(
             jnp.where(active0, LS_TICKS, LS_EXHAUSTED).astype(jnp.int32)
         )
         restart[...] = sc(active0.astype(jnp.int32))
+        # dual-mode provenance: a warm root's basis came from a claimed
+        # -optimal parent record => dual feasible; cold (-I) roots are not
+        dmode[...] = sc(
+            use_warm.astype(jnp.int32) * jnp.int32(1 if use_dual else 0)
+        )
         st_j[...] = jnp.zeros((B, D), jnp.int32)
         st_fl[...] = jnp.zeros((B, D), jnp.float32)
         st_ol[...] = jnp.zeros((B, D), jnp.float32)
@@ -464,14 +484,34 @@ def make_pallas_bb_batch(
             infeas_sum = jnp.sum(infeas, axis=1)
             phase1 = infeas_sum > feas_tol
 
+            # ---- dual-simplex reoptimisation for warm nodes ----------------
+            # A node inherits its parent's OPTIMAL basis, and dual
+            # feasibility (the sign pattern of d = c - cB B^-1 W per
+            # at-upper status) depends only on (c, basis, statuses) — all
+            # preserved across bound changes.  So a primal-infeasible warm
+            # node is exactly the dual simplex's home turf: pick the most
+            # violated basic row, price its tableau row, enter by the dual
+            # ratio test — typically a handful of pivots where the
+            # composite primal phase-1 wanders hundreds on the degenerate
+            # assignment polytope (2AP40: 12.7k ITERLIM records, each an
+            # exact host LP).  dmode tracks per-lane dual-feasibility
+            # provenance: set when a node closes with a claimed-optimal
+            # basis (BRANCH/PRUNE/LEAF), cleared on ITERLIM/INFEAS (mid
+            # -solve or phase-1 bases).  All claims remain audited.
+            if use_dual:
+                dualm = (dmode[:, 0] > 0) & phase1
+                p1_primal = phase1 & ~dualm
+            else:
+                dualm = None  # no dual ops traced at all
+                p1_primal = phase1
             cB_eff = jnp.where(
-                eb(phase1),
+                eb(p1_primal),
                 jnp.where(below, -1.0, jnp.where(above, 1.0, 0.0)),
                 cB[...],
             )
             y = jnp.sum(BI[...] * cB_eff[:, :, None], axis=1)
             d = -mm(y, W_ref[...], 1, 0)
-            d = jnp.where(eb(phase1), d, d + c)
+            d = jnp.where(eb(p1_primal), d, d + c)
 
             inbm = inb[...] > 0
             atm = atup[...] > 0
@@ -485,11 +525,54 @@ def make_pallas_bb_batch(
             score_d = jnp.where(elig, jnp.abs(d), -1.0)
             score_b = jnp.where(elig, -col_ids.astype(jnp.float32), -BIG)
             score = jnp.where(eb(bland), score_b, score_d)
-            q = jnp.argmax(score, axis=1).astype(jnp.int32)
-            qmask = col_ids == q[:, None]
+            q_p = jnp.argmax(score, axis=1).astype(jnp.int32)
+
+            if use_dual:
+                # ---- dual selection (dualm lanes): leaving row, entering -
+                viol = infeas  # (B, m_p); zero on padded rows (0-width)
+                rD = jnp.argmax(viol, axis=1).astype(jnp.int32)
+                rDmask = row_ids == rD[:, None]
+                rDf = rDmask.astype(jnp.float32)
+                viol_r = jnp.sum(jnp.where(rDmask, viol, 0.0), axis=1)
+                above_r = jnp.sum(rDf * above.astype(jnp.float32), axis=1) > 0
+                # tableau row r of B^-1 W, sign-folded: eligible is uniform
+                BIr = jnp.sum(BI[...] * rDf[:, :, None], axis=1)  # (B, m_p)
+                arow = mm(BIr, W_ref[...], 1, 0)  # (B, nc_p)
+                sgn_row = jnp.where(above_r, -1.0, 1.0)  # below: xB_r rises
+                a_eff = sgn_row[:, None] * arow
+                can_up_D = nbm & (~atm | free) & (a_eff < -pivot_tol)
+                can_dn_D = nbm & (atm | free) & (a_eff > pivot_tol)
+                elig_D = can_up_D | can_dn_D
+                any_elig_D = jnp.any(elig_D, axis=1)
+                # dual ratio |d_q| / |alpha_rq| (wrong-sign f32 noise folds
+                # to 0 = a degenerate dual step; claims stay audited)
+                numer = jnp.where(
+                    can_up_D, jnp.maximum(d, 0.0), jnp.maximum(-d, 0.0)
+                )
+                safe_ar = jnp.where(
+                    jnp.abs(arow) > pivot_tol, jnp.abs(arow), 1.0
+                )
+                ratio_Dv = jnp.where(elig_D, numer / safe_ar, BIG)
+                score_Dd = -ratio_Dv
+                score_Db = jnp.where(elig_D, -col_ids.astype(jnp.float32), -BIG)
+                score_D = jnp.where(eb(bland), score_Db, score_Dd)
+                q_D = jnp.argmax(score_D, axis=1).astype(jnp.int32)
+
+                q = jnp.where(dualm, q_D, q_p)
+                qmask = col_ids == q[:, None]
+                can_up_eff = jnp.where(
+                    eb(dualm),
+                    can_up_D.astype(jnp.int32),
+                    can_up.astype(jnp.int32),
+                )
+            else:
+                q = q_p
+                qmask = col_ids == q[:, None]
+                can_up_eff = can_up.astype(jnp.int32)
             sigma = jnp.where(
                 jnp.sum(
-                    jnp.where(qmask, can_up.astype(jnp.float32), 0.0), axis=1
+                    jnp.where(qmask, can_up_eff.astype(jnp.float32), 0.0),
+                    axis=1,
                 )
                 > 0,
                 1.0,
@@ -544,11 +627,30 @@ def make_pallas_bb_batch(
             pick_b = jnp.where(tied, -basis_f, -BIG)
             pick = jnp.where(eb(bland), pick_b, pick_d)
             r = jnp.argmax(pick, axis=1).astype(jnp.int32)
+            if use_dual:
+                # dual lanes pivot on the chosen violated row; theta brings
+                # that basic exactly to its violated bound (other basics
+                # may overshoot — later dual iterations repair them)
+                r = jnp.where(dualm, rD, r)
             rmask = row_ids == r[:, None]
             r_ratio = jnp.sum(jnp.where(rmask, ratios, 0.0), axis=1)
-            row_blocks = rmin < flip_theta
-            theta = jnp.where(row_blocks, r_ratio, flip_theta)
-            unbounded = ~jnp.isfinite(theta)
+            if use_dual:
+                eta_rD = jnp.sum(jnp.where(rDmask, eta, 0.0), axis=1)
+                theta_D = viol_r / jnp.where(
+                    jnp.abs(eta_rD) > 1e-12, jnp.abs(eta_rD), 1.0
+                )
+                # boolean algebra, not bool-typed selects (Mosaic i1 quirk)
+                row_blocks = dualm | (rmin < flip_theta)
+                theta = jnp.where(
+                    dualm,
+                    theta_D,
+                    jnp.where(rmin < flip_theta, r_ratio, flip_theta),
+                )
+                unbounded = ~jnp.isfinite(theta) & ~dualm
+            else:
+                row_blocks = rmin < flip_theta
+                theta = jnp.where(row_blocks, r_ratio, flip_theta)
+                unbounded = ~jnp.isfinite(theta)
 
             lp_new = jnp.where(
                 ~any_elig,
@@ -559,6 +661,12 @@ def make_pallas_bb_batch(
                     RUNNING,
                 ),
             ).astype(jnp.int32)
+            if use_dual:
+                lp_new = jnp.where(
+                    dualm,
+                    jnp.where(any_elig_D, RUNNING, INFEASIBLE),
+                    lp_new,
+                ).astype(jnp.int32)
             lp_new = jnp.where(
                 stepping0, lp_new, lpstat[:, 0]
             )
@@ -584,6 +692,11 @@ def make_pallas_bb_batch(
 
             p_col = jnp.sum(jnp.where(rmask, basis[...], 0), axis=1)
             leave_up = jnp.sum(rmask.astype(jnp.float32) * hits_up, axis=1)
+            if use_dual:
+                # dual pivot: the leaving basic exits AT its violated bound
+                leave_up = jnp.where(
+                    dualm, above_r.astype(jnp.float32), leave_up
+                )
             pmask = col_ids == p_col[:, None]
             atup_piv = jnp.where(
                 pmask & eb(do_pivot),
@@ -640,10 +753,18 @@ def make_pallas_bb_batch(
             cIb[...] = jnp.where(rmask & eb(do_pivot), iq[:, None], cIb[...])
 
             cur_obj = jnp.where(
-                phase1, infeas_sum, jnp.sum(cB[...] * xB[...], axis=1)
+                p1_primal, infeas_sum, jnp.sum(cB[...] * xB[...], axis=1)
             )
             last = lobj[:, 0]
-            progressed = cur_obj < last - 1e-9
+            if use_dual:
+                # dual iterations drive the (phase-2) objective UP toward
+                # the optimum; primal/phase-1 drive theirs down (boolean
+                # algebra, not a bool select — Mosaic i1 quirk)
+                progressed = (dualm & (cur_obj > last + 1e-9)) | (
+                    ~dualm & (cur_obj < last - 1e-9)
+                )
+            else:
+                progressed = cur_obj < last - 1e-9
             st_new = jnp.where(progressed | ~stepping0, 0, stall[:, 0] + 1)
             stall[...] = jnp.where(eb(stepping0), sc(st_new), stall[...])
             lobj[...] = jnp.where(eb(stepping0), sc(cur_obj), lobj[...])
@@ -743,6 +864,16 @@ def make_pallas_bb_batch(
                         0.0,
                     )
                 )
+                if use_dual:
+                    # dual-feasibility provenance for descendants/siblings:
+                    # BRANCH/PRUNE/LEAF closed with a claimed-optimal basis;
+                    # ITERLIM/INFEAS leave mid-solve / phase-1 bases behind
+                    dm_new = (
+                        (act == ACT_BRANCH)
+                        | (act == ACT_PRUNE)
+                        | (act == ACT_LEAF)
+                    ).astype(jnp.int32)
+                    dmode[...] = jnp.where(eb(tr), sc(dm_new), dmode[...])
                 lgs_ref[...] = jnp.where(
                     f_here3, scal_row[:, None, :], lgs_ref[...]
                 )
@@ -995,6 +1126,7 @@ def make_pallas_bb_batch(
             pltpu.VMEM((B, 128), jnp.int32),  # ncnt
             pltpu.VMEM((B, 128), jnp.int32),  # depth
             pltpu.VMEM((B, 128), jnp.int32),  # restart
+            pltpu.VMEM((B, 128), jnp.int32),  # dmode (dual-feasible basis)
             pltpu.VMEM((B, D), jnp.int32),  # st_j
             pltpu.VMEM((B, D), jnp.float32),  # st_fl
             pltpu.VMEM((B, D), jnp.float32),  # st_ol

@@ -140,8 +140,28 @@ def sweep_front(
     if Rw + 1 <= Lw - 1:
         gaps.append((Rw + 1, Lw - 1))
 
+    # online front-density estimate: seeding bounds DENSER than the actual
+    # point spacing only solves duplicate subproblems (each bound whose
+    # interval another bound already covers returns the same point — 2AP40
+    # measured 739 lex-IPs for a 108-point front with a flat batch budget).
+    # Start at half the batch and re-budget each round from the measured
+    # points-per-covered-length.
+    distinct = {tuple(int(v) for v in q) for q in pts}
+
     while gaps:
-        bounds = _subdivide(gaps, batch)
+        remaining = sum(hi - lo + 1 for lo, hi in gaps)
+        total_range = Lw - Rw - 1
+        covered_len = max(1, total_range - remaining)
+        density = max(len(distinct) - 1, 1) / covered_len
+        want = len(gaps) + int(np.ceil(density * remaining))
+        budget = int(min(batch, max(len(gaps), want)))
+        if rounds == 1:
+            # no density signal yet: speculative half-batch, but never
+            # denser than a quarter of the integer range (integer fronts
+            # have >= 1-unit spacing; flooding a short range only solves
+            # duplicates — 2AP20 measured 292 lex-IPs for a 46-point front)
+            budget = min(batch // 2, max(len(gaps), remaining // 4, 1))
+        bounds = _subdivide(gaps, budget)
         reqs = []
         for b in bounds:
             rhs = free.copy()
@@ -156,6 +176,7 @@ def sweep_front(
             else:
                 r = np.asarray(out.result, dtype=np.int64)
                 pts.append(r)
+                distinct.add(tuple(int(v) for v in r))
                 covered.append((int(sgn * r[1]), b))
         covered.sort()
         # subtract the covered union from every gap

@@ -1376,9 +1376,19 @@ class WaveLexBackend:
             if task.failed:
                 continue
             if nlog > 0:
+                # cache the last CLAIMED-OPTIMAL basis (branch/prune/leaf)
+                # for sibling-root warm starts — an ITERLIM record's mid
+                # -solve basis would poison the kernel's dual-mode restart
+                acts_l = lgs_d[i, :nlog, F_ACTION].astype(np.int32)
+                good_l = np.flatnonzero(
+                    (acts_l == ACT_BRANCH)
+                    | (acts_l == ACT_PRUNE)
+                    | (acts_l == ACT_LEAF)
+                )
+                t_src = int(good_l[-1]) if good_l.size else nlog - 1
                 self._root_basis_cache[(task.stage, task.obj_j)] = (
-                    np.clip(lgb_d[i, nlog - 1, :m].astype(np.int32), 0, nc - 1),
-                    (_au(i, nlog - 1) > 0).astype(np.int32),
+                    np.clip(lgb_d[i, t_src, :m].astype(np.int32), 0, nc - 1),
+                    (_au(i, t_src) > 0).astype(np.int32),
                 )
             n_open = len(rep.open_nodes)
             for oi, (olo, ohi, prec) in enumerate(rep.open_nodes):
