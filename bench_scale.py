@@ -140,6 +140,10 @@ def run_one(
         row["elapsed_s"] = round(time.monotonic() - t0, 1)
         row["points"] = res.solution_count
         row["ips"] = res.ip_count
+        if res.ip_count == 0 and res.solution_count > 0:
+            # the structure-aware DP carried this row (no MIP ladder ran);
+            # label it so DP rows are never mistaken for general-engine rows
+            row["backend"] += "+dp"
     except Timeout:
         row["elapsed_s"] = None
         row["points"] = None

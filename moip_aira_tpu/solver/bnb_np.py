@@ -37,6 +37,10 @@ from moip_aira_tpu.solver.status import SolveStatus
 INT_TOL = 1e-6
 
 
+#: nodes the most recent solve_mip call explored (profiling diagnostic)
+LAST_NODES = 0
+
+
 class MIPResult(NamedTuple):
     status: SolveStatus
     obj: float
@@ -118,8 +122,10 @@ def solve_mip(
     lo_full = lo.copy()
     hi_full = hi.copy()
 
+    global LAST_NODES
     while stack:
         nodes += 1
+        LAST_NODES = nodes
         if nodes > max_nodes:
             return MIPResult(SolveStatus.NODE_LIMIT, best_obj, best_x)
         node_lo, node_hi, wb, wa = stack.pop()

@@ -79,6 +79,7 @@ F_FL = 3
 F_DIR = 4  # 1 = down child first
 F_ACTION = 5
 F_ITERS = 6
+F_PHASE1 = 7  # 1 = the lane was still primal-infeasible when it closed
 
 
 def _round_up(x: int, m: int) -> int:
@@ -861,6 +862,11 @@ def make_pallas_bb_batch(
                     + jnp.where(
                         cid128 == F_ITERS,
                         niter[:, 0].astype(jnp.float32)[:, None],
+                        0.0,
+                    )
+                    + jnp.where(
+                        cid128 == F_PHASE1,
+                        phase1.astype(jnp.float32)[:, None],
                         0.0,
                     )
                 )

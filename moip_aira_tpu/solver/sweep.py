@@ -15,22 +15,28 @@ rung at a time — not of the problem:
   would dominate it).  An infeasible bound b proves no point has obj1 <= b.
 
 So the whole front is an INTERVAL-COVERING problem over the integer range
-of obj1: seed a grid of bounds spanning the range, solve ALL of them as one
-batched backend call (every lane is an independent lexicographic IP — the
-wave/fragment backend runs them concurrently), mark the covered intervals,
-and re-seed only the uncovered gaps.  A front of F points completes in
-~ceil(F / batch) + O(1) adaptive rounds instead of F dependent ones, with
-every device wave full.
+of obj1, and the driver runs it as T PARALLEL CHAINED LADDERS with no
+round barrier: T seed bounds spread over the range solve concurrently
+(every lane of the batched backend is an independent lexicographic IP);
+each completed bound immediately streams its successor (its result value
+minus one) into the pool through the backend's ``feeder`` hook; a chain
+that walks into an already-covered interval dies and is re-seeded at the
+top of the largest uncovered gap.  A front of F points costs ~F + T
+lex-IPs total (each chain wastes at most its final collision) while the
+device stays saturated until the last gap closes — no straggler tail
+(measured on KP2D100: the round-barrier version idled through 11,941
+mostly-empty waves).
 
 Exactness: every emitted point is a full-permutation lexicographic optimum
-of a downward-closed box (the CLAUDE.md invariant), solved by the same
-exact backend as the ladder; the covering argument above is what makes the
-union COMPLETE.  Requires integer-valued objectives (the reference's own
-standing assumption — it rounds every objective value, aira.cpp:517).
+of a downward-closed box (the CLAUDE.md exactness invariant), solved by
+the same exact backend as the ladder; the covering argument above is what
+makes the union COMPLETE.  Requires integer-valued objectives (the
+reference's own standing assumption — it rounds every objective value,
+aira.cpp:517).
 
 Reference analogue: the EPP splitter (aira.cpp:1886-1990) statically cuts
 the SAME range into one strip per thread; this driver is the adaptive,
-batch-width-sized version of that idea.
+work-stealing version of that idea.
 """
 
 from __future__ import annotations
@@ -40,8 +46,10 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from moip_aira_tpu.problem import Problem
-from moip_aira_tpu.sense import INF, Sense
+from moip_aira_tpu.sense import Sense
 from moip_aira_tpu.solver.lex import LexRequest
+
+_NEG = -(2**62)  # "covered all the way down" sentinel (infeasible bounds)
 
 
 class SweepResult:
@@ -54,14 +62,55 @@ class SweepResult:
         self.batch_sizes = batch_sizes
 
 
-def _subdivide(gaps: List[Tuple[int, int]], budget: int) -> List[int]:
-    """Pick up to ``budget`` bound values across the gaps.
+class _Cover:
+    """Merged set of covered integer intervals (sorted, disjoint)."""
 
-    Every gap gets its TOP value (solving at the top covers a suffix of the
-    gap, so each gap strictly shrinks every round — termination); remaining
-    budget spreads speculative extra bounds evenly inside the larger gaps.
-    """
-    bounds: List[int] = [hi for (_lo, hi) in gaps]
+    def __init__(self):
+        self.iv: List[List[int]] = []  # [lo, hi], sorted by lo
+
+    def add(self, lo: int, hi: int) -> None:
+        import bisect
+
+        i = bisect.bisect_left([v[0] for v in self.iv], lo)
+        # merge with the left neighbour too
+        if i > 0 and self.iv[i - 1][1] >= lo - 1:
+            i -= 1
+        new_lo, new_hi = lo, hi
+        j = i
+        while j < len(self.iv) and self.iv[j][0] <= hi + 1:
+            new_lo = min(new_lo, self.iv[j][0])
+            new_hi = max(new_hi, self.iv[j][1])
+            j += 1
+        self.iv[i:j] = [[new_lo, new_hi]]
+
+    def contains(self, w: int) -> bool:
+        import bisect
+
+        i = bisect.bisect_right([v[0] for v in self.iv], w) - 1
+        return i >= 0 and self.iv[i][1] >= w
+
+    def gaps(self, lo: int, hi: int) -> List[Tuple[int, int]]:
+        """Uncovered sub-intervals of [lo, hi]."""
+        out: List[Tuple[int, int]] = []
+        cur = lo
+        for a, b in self.iv:
+            if b < cur:
+                continue
+            if a > hi:
+                break
+            if a > cur:
+                out.append((cur, a - 1))
+            cur = max(cur, b + 1)
+            if cur > hi:
+                return out
+        if cur <= hi:
+            out.append((cur, hi))
+        return out
+
+
+def _seed_bounds(gaps: List[Tuple[int, int]], budget: int) -> List[int]:
+    """Up to ``budget`` bounds: every gap's top, extras spread by length."""
+    bounds = [hi for (_lo, hi) in gaps]
     extra = budget - len(bounds)
     if extra > 0:
         total = sum(hi - lo for lo, hi in gaps)
@@ -105,22 +154,18 @@ def sweep_front(
     ip_count = 0
     pts: List[np.ndarray] = []
 
-    def solve(reqs: List[LexRequest]):
-        nonlocal rounds, ip_count
-        rounds += 1
-        batch_sizes.append(len(reqs))
-        outs = backend.lex_solve_batch(reqs)
-        ip_count += sum(o.ip_solves for o in outs)
-        return outs
-
-    # ---- round 1: the two lexicographic extremes --------------------------
     free = p.initial_rhs()
-    outs = solve(
+
+    # ---- the two lexicographic extremes ------------------------------------
+    rounds += 1
+    batch_sizes.append(2)
+    outs = backend.lex_solve_batch(
         [
             LexRequest(rhs=free.copy(), perm=[0, 1]),
             LexRequest(rhs=free.copy(), perm=[1, 0]),
         ]
     )
+    ip_count += sum(o.ip_solves for o in outs)
     if outs[0].result is None:  # whole problem infeasible
         return SweepResult(
             np.zeros((0, 2), dtype=np.int64), ip_count, rounds, batch_sizes
@@ -131,78 +176,133 @@ def sweep_front(
     if not np.array_equal(L, R):
         pts.append(R)
 
-    # working in SIGN-FOLDED obj1 units (w = sgn * obj1, so "tighter" is
-    # always smaller): covered so far is [R_w, R_w] and [L_w, +inf); the
-    # unknown region is w in [R_w + 1, L_w - 1]
+    # work in SIGN-FOLDED obj1 units (w = sgn * obj1: tighter = smaller)
     Lw = int(sgn * L[1])
     Rw = int(sgn * R[1])
-    gaps: List[Tuple[int, int]] = []
-    if Rw + 1 <= Lw - 1:
-        gaps.append((Rw + 1, Lw - 1))
+    lo_w, hi_w = Rw + 1, Lw - 1
+    if lo_w > hi_w:
+        return _finish(pts, ip_count, rounds, batch_sizes)
 
-    # online front-density estimate: seeding bounds DENSER than the actual
-    # point spacing only solves duplicate subproblems (each bound whose
-    # interval another bound already covers returns the same point — 2AP40
-    # measured 739 lex-IPs for a 108-point front with a flat batch budget).
-    # Start at half the batch and re-budget each round from the measured
-    # points-per-covered-length.
-    distinct = {tuple(int(v) for v in q) for q in pts}
+    cover = _Cover()
+    in_flight: dict = {}  # req index (backend-side) -> bound value
 
-    while gaps:
-        remaining = sum(hi - lo + 1 for lo, hi in gaps)
-        total_range = Lw - Rw - 1
-        covered_len = max(1, total_range - remaining)
-        density = max(len(distinct) - 1, 1) / covered_len
-        want = len(gaps) + int(np.ceil(density * remaining))
-        budget = int(min(batch, max(len(gaps), want)))
-        if rounds == 1:
-            # no density signal yet: speculative half-batch, but never
-            # denser than a quarter of the integer range (integer fronts
-            # have >= 1-unit spacing; flooding a short range only solves
-            # duplicates — 2AP20 measured 292 lex-IPs for a 46-point front)
-            budget = min(batch // 2, max(len(gaps), remaining // 4, 1))
-        bounds = _subdivide(gaps, budget)
-        reqs = []
-        for b in bounds:
-            rhs = free.copy()
-            rhs[1] = float(sgn * b)  # obj1 <= b (MIN) / >= -b (MAX)
-            reqs.append(LexRequest(rhs=rhs, perm=[0, 1]))
-        outs = solve(reqs)
-        # covered intervals this round (in w units)
-        covered: List[Tuple[int, int]] = []
-        for b, out in zip(bounds, outs):
+    def _mk_req(b: int) -> LexRequest:
+        rhs = free.copy()
+        rhs[1] = float(sgn * b)  # obj1 <= b (MIN) / >= -b (MAX)
+        return LexRequest(rhs=rhs, perm=[0, 1])
+
+    def _reseed() -> Optional[int]:
+        """Top of the largest uncovered gap whose top no chain claims."""
+        claimed = set(in_flight.values())
+        best = None
+        for lo, hi in cover.gaps(lo_w, hi_w):
+            if hi in claimed:
+                continue
+            if best is None or hi - lo > best[1] - best[0]:
+                best = (lo, hi)
+        return best[1] if best else None
+
+    def feeder(ri: int, out) -> List[LexRequest]:
+        nonlocal ip_count
+        b = in_flight.pop(ri, None)
+        if b is None:
+            return []
+        ip_count += out.ip_solves
+        if out.result is None:
+            cover.add(_NEG, b)  # infeasible at b => infeasible below b
+            cand = None
+        else:
+            r = np.asarray(out.result, dtype=np.int64)
+            pts.append(r)
+            w_r = int(sgn * r[1])
+            cover.add(w_r, b)
+            cand = w_r - 1  # the chain's next rung (the ladder step)
+        if cand is None or cand < lo_w or cover.contains(cand) or (
+            cand in in_flight.values()
+        ):
+            cand = _reseed()  # chain died: steal the largest open gap
+        if cand is None:
+            return []
+        req = _mk_req(cand)
+        # the backend assigns the new request the next index in ITS list;
+        # track it by that convention (wave appends in order)
+        in_flight[feeder.next_idx] = cand
+        feeder.next_idx += 1
+        return [req]
+
+    # initial chain seeds: never denser than a quarter of the integer range
+    # (integer fronts have >= 1-unit spacing; flooding short ranges only
+    # solves duplicates)
+    T = min(batch // 2, max(1, (hi_w - lo_w + 1) // 4))
+    seeds = _seed_bounds(cover.gaps(lo_w, hi_w), T)
+    reqs = [_mk_req(b) for b in seeds]
+    feeder.next_idx = len(reqs)
+    for i, b in enumerate(seeds):
+        in_flight[i] = b
+
+    rounds += 1
+    batch_sizes.append(len(reqs))
+    if getattr(backend, "supports_feeder", False):
+        # every request (seed or fed) reaches feeder exactly once, which
+        # counts its ip_solves — nothing to add afterwards
+        backend.lex_solve_batch(reqs, feeder=feeder)
+    else:
+        # barrier emulation for backends without streaming (numpy / jax):
+        # run the queue in batches, feed after each batch
+        queue = list(range(len(reqs)))
+        all_reqs = list(reqs)
+        while queue:
+            batch_out = backend.lex_solve_batch([all_reqs[i] for i in queue])
+            rounds += 1
+            batch_sizes.append(len(queue))
+            nxt: List[int] = []
+            for i, out in zip(queue, batch_out):
+                if i < len(seeds):
+                    ip_count += out.ip_solves
+                    # seeds' feeder call must not double-count
+                    out2 = out
+                    new = feeder(i, _NoIps(out2))
+                else:
+                    new = feeder(i, out)
+                for nr in new:
+                    all_reqs.append(nr)
+                    nxt.append(len(all_reqs) - 1)
+            queue = nxt
+
+    # any gap left would mean in_flight died out early — cannot happen
+    # (every completion either covers its gap top or reseeds), but guard:
+    leftover = cover.gaps(lo_w, hi_w)
+    while leftover:
+        rounds += 1
+        bs = _seed_bounds(leftover, batch)
+        batch_sizes.append(len(bs))
+        outs = backend.lex_solve_batch([_mk_req(b) for b in bs])
+        ip_count += sum(o.ip_solves for o in outs)
+        for b, out in zip(bs, outs):
             if out.result is None:
-                covered.append((-(2**62), b))  # infeasible below b too
+                cover.add(_NEG, b)
             else:
                 r = np.asarray(out.result, dtype=np.int64)
                 pts.append(r)
-                distinct.add(tuple(int(v) for v in r))
-                covered.append((int(sgn * r[1]), b))
-        covered.sort()
-        # subtract the covered union from every gap
-        merged: List[Tuple[int, int]] = []
-        for lo, hi in covered:
-            if merged and lo <= merged[-1][1] + 1:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
-            else:
-                merged.append((lo, hi))
-        nxt: List[Tuple[int, int]] = []
-        for lo, hi in gaps:
-            cur = lo
-            for clo, chi in merged:
-                if chi < cur or clo > hi:
-                    continue
-                if clo > cur:
-                    nxt.append((cur, clo - 1))
-                cur = max(cur, chi + 1)
-                if cur > hi:
-                    break
-            if cur <= hi:
-                nxt.append((cur, hi))
-        gaps = nxt
+                cover.add(int(sgn * r[1]), b)
+        leftover = cover.gaps(lo_w, hi_w)
 
+    return _finish(pts, ip_count, rounds, batch_sizes)
+
+
+class _NoIps:
+    """Outcome proxy reporting 0 ip_solves (already counted by the caller)."""
+
+    __slots__ = ("result", "status", "ip_solves")
+
+    def __init__(self, out):
+        self.result = out.result
+        self.status = out.status
+        self.ip_solves = 0
+
+
+def _finish(pts, ip_count, rounds, batch_sizes) -> SweepResult:
     arr = np.stack(pts)
-    # dedup + sort descending-lexicographic (store contract)
     order = np.lexsort(tuple(arr[:, i] for i in range(arr.shape[1] - 1, -1, -1)))
     arr = arr[order[::-1]]
     keep = np.ones(arr.shape[0], dtype=bool)

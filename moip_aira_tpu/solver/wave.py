@@ -377,7 +377,10 @@ class WaveLexBackend:
             "records": 0, "host_recs": 0, "reopened": 0, "resumed": 0,
             "lanes": 0, "waves": 0, "warm": 0,
             "dev_iters": 0, "max_iters": 0, "ticked_out": 0,
-            "why": {"iterlim": 0, "infeas": 0, "prune": 0, "leaf": 0},
+            # iterlim_p1 = iteration-limited records still primal-infeasible
+            # at close (phase-1 stalls) — the anti-degeneracy diagnostic
+            "why": {"iterlim": 0, "infeas": 0, "prune": 0, "leaf": 0,
+                    "iterlim_p1": 0},
         }
         import os as _os
 
@@ -1057,7 +1060,7 @@ class WaveLexBackend:
 
         from moip_aira_tpu.solver.pallas_bb import (
             ACT_BRANCH, ACT_INFEAS, ACT_ITERLIM, ACT_LEAF, ACT_PRUNE,
-            F_ACTION, F_FL, F_ITERS, F_J, F_STATUS,
+            F_ACTION, F_FL, F_ITERS, F_J, F_PHASE1, F_STATUS,
         )
         from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
@@ -1307,6 +1310,8 @@ class WaveLexBackend:
                 self.frag_stats["why"][k_] += v_
             for t in audit.host_recs:
                 act_t = int(lgs_d[i, t, F_ACTION])
+                if act_t == 4 and lgs_d[i, t, F_PHASE1] > 0.5:
+                    self.frag_stats["why"]["iterlim_p1"] += 1
                 _dump = _os.environ.get("MOIP_DUMP_ITERLIM")
                 if _dump and act_t == 4:
                     import pickle
@@ -1511,13 +1516,42 @@ class WaveLexBackend:
             task.nodes.append(up)
             task.nodes.append(dn)
 
-    def _advance_pool(self, pool: List[_StageTask], state) -> List[_StageTask]:
-        """Finish tasks whose stacks drained; start their next stages."""
+    def _advance_pool(
+        self, pool: List[_StageTask], state, feeder=None
+    ) -> List[_StageTask]:
+        """Finish tasks whose stacks drained; start their next stages.
+
+        ``feeder(req_idx, outcome) -> List[LexRequest]`` streams NEW
+        requests in as others complete (no batch barrier): the returned
+        requests join the pool immediately, so adaptive drivers (the bound
+        sweep) keep the device saturated instead of idling on stragglers.
+        """
         reqs, results, ips, infeasible, srhs_by_req, perms, xwarm_by_req = state
         import os as _os
 
         audit = _os.environ.get("MOIP_WAVE_LOG")
         still: List[_StageTask] = []
+
+        def _request_done(ri: int) -> None:
+            if feeder is None:
+                return
+            if infeasible[ri]:
+                out = LexOutcome(SolveStatus.INFEASIBLE, None, int(ips[ri]))
+            else:
+                out = LexOutcome(
+                    SolveStatus.OPTIMAL, results[ri].copy(), int(ips[ri])
+                )
+            for nr in feeder(ri, out) or ():
+                nj = len(reqs)
+                reqs.append(nr)
+                results.append(np.zeros(self.k, dtype=np.int64))
+                ips.append(0)
+                infeasible.append(False)
+                srhs_by_req.append(np.asarray(nr.rhs, dtype=np.float64).copy())
+                perms.append(list(nr.perm))
+                xwarm_by_req.append(None)
+                still.append(self._stage_task(nj, 0, perms[nj], srhs_by_req[nj]))
+
         for task in pool:
             if (task.nodes and not task.failed) or task.inflight > 0:
                 still.append(task)
@@ -1539,10 +1573,12 @@ class WaveLexBackend:
                 fb = self._fallback.lex_solve(reqs[ri])
                 infeasible[ri] = fb.status.is_infeasible
                 if fb.result is not None:
-                    results[ri] = fb.result
+                    results[ri] = np.asarray(fb.result, dtype=np.int64)
+                _request_done(ri)
                 continue
             if not np.isfinite(task.best):
                 infeasible[ri] = True
+                _request_done(ri)
                 continue
             val = task.best if self.is_min else -task.best
             vi = int(np.rint(val))
@@ -1557,29 +1593,40 @@ class WaveLexBackend:
                         x_warm=xwarm_by_req[ri],
                     )
                 )
+            else:
+                _request_done(ri)
         return still
 
     # -- main entry --------------------------------------------------------
-    def lex_solve_batch(self, reqs: List[LexRequest]) -> List[LexOutcome]:
+    #: adaptive drivers may stream requests in via lex_solve_batch(feeder=)
+    supports_feeder = True
+
+    def lex_solve_batch(
+        self, reqs: List[LexRequest], feeder=None
+    ) -> List[LexOutcome]:
         """Run all requests to completion with TWO pipelined task pools:
         while the device solves pool A's LP wave, the host certifies,
         branches and re-submits pool B's — hiding the dispatch round-trip
-        and the host bookkeeping behind device time."""
+        and the host bookkeeping behind device time.
+
+        ``feeder``: see _advance_pool — completed requests can stream new
+        ones into the pool, barrier-free."""
         if not reqs:
             return []
-        n_req = len(reqs)
-        results = np.zeros((n_req, self.k), dtype=np.int64)
-        ips = np.zeros(n_req, dtype=np.int64)
-        infeasible = np.zeros(n_req, dtype=bool)
+        reqs = list(reqs)
+        n0 = len(reqs)
+        results = [np.zeros(self.k, dtype=np.int64) for _ in range(n0)]
+        ips = [0] * n0
+        infeasible = [False] * n0
         srhs_by_req = [np.asarray(r.rhs, dtype=np.float64).copy() for r in reqs]
         perms = [list(r.perm) for r in reqs]
-        xwarm_by_req = [None] * n_req
+        xwarm_by_req = [None] * n0
         self._last_cert = None
         state = (reqs, results, ips, infeasible, srhs_by_req, perms, xwarm_by_req)
 
         pool = [
             self._stage_task(i, 0, perms[i], srhs_by_req[i])
-            for i in range(n_req)
+            for i in range(n0)
         ]
         from collections import deque
 
@@ -1600,12 +1647,12 @@ class WaveLexBackend:
                 inflight.append(sub)
             if inflight:
                 self._complete_wave(inflight.popleft(), state)
-                pool = self._advance_pool(pool, state)
+                pool = self._advance_pool(pool, state, feeder)
             else:
                 # nothing submittable and nothing pending — but submit-time
                 # pruning may have just emptied stacks, leaving finished
                 # tasks to advance (and possibly next stages to start)
-                drained = self._advance_pool(pool, state)
+                drained = self._advance_pool(pool, state, feeder)
                 if len(drained) == len(pool) and not any(
                     t.nodes for t in drained
                 ):
@@ -1614,7 +1661,7 @@ class WaveLexBackend:
                 pool = drained
 
         out: List[LexOutcome] = []
-        for i in range(n_req):
+        for i in range(len(reqs)):
             if infeasible[i]:
                 out.append(LexOutcome(SolveStatus.INFEASIBLE, None, int(ips[i])))
             else:
