@@ -51,6 +51,109 @@ SWAP_FULL_LIMIT = 300
 SWAP_CAND = 128
 
 
+def repair(
+    Wx: np.ndarray,
+    c: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    x0: np.ndarray,
+    int_idx: np.ndarray,
+    max_moves: int = 60,
+) -> Optional[np.ndarray]:
+    """Restore ROW feasibility of an integer point by unit moves/swaps.
+
+    The bound-sweep chains (solver/sweep.py) hand each successor MIP the
+    PARENT rung's optimal point as a warm hint: it satisfies every structural
+    constraint but violates the new objective-bound row by exactly one front
+    step, so one or two greedy swaps usually repair it into a near-optimal
+    incumbent — where the rounding heuristic from a cold LP can be far off.
+
+    Each move is chosen to minimise the total row violation, tie-broken by
+    objective delta; a move must strictly reduce violation, so the loop
+    terminates.  Returns a feasible x, or None if repair stalls.
+    """
+    n = Wx.shape[1]
+    x = np.asarray(x0, dtype=np.float64).copy()
+    if int_idx.size:
+        x[int_idx] = np.rint(x[int_idx])
+    x = np.clip(x, lo[:n], hi[:n])
+    act = Wx @ x
+    row_lo, row_hi = lo[n:], hi[n:]
+
+    def violation(a):
+        return np.maximum(row_lo - a, 0.0).sum() + np.maximum(
+            a - row_hi, 0.0
+        ).sum()
+
+    viol = violation(act)
+    if int_idx.size == 0:
+        return x if viol <= TOL else None
+    Wi = Wx[:, int_idx]
+    ci = c[int_idx]
+    lo_x, hi_x = lo[int_idx], hi[int_idx]
+    ni = int_idx.size
+
+    for _ in range(max_moves):
+        if viol <= TOL:
+            return x
+        can_up = x[int_idx] + 1 <= hi_x + TOL
+        can_dn = x[int_idx] - 1 >= lo_x - TOL
+        act_up = act[:, None] + Wi  # (m, ni)
+        act_dn = act[:, None] - Wi
+        v_up = (
+            np.maximum(row_lo[:, None] - act_up, 0.0)
+            + np.maximum(act_up - row_hi[:, None], 0.0)
+        ).sum(axis=0)
+        v_dn = (
+            np.maximum(row_lo[:, None] - act_dn, 0.0)
+            + np.maximum(act_dn - row_hi[:, None], 0.0)
+        ).sum(axis=0)
+        v_up = np.where(can_up, v_up, np.inf)
+        v_dn = np.where(can_dn, v_dn, np.inf)
+        if ni <= SWAP_FULL_LIMIT:
+            js = ls = np.arange(ni)
+        else:
+            ju = np.flatnonzero(can_up)
+            ld = np.flatnonzero(can_dn)
+            js = ju[np.argsort(ci[ju])[:SWAP_CAND]] if ju.size else ju
+            ls = ld[np.argsort(-ci[ld])[:SWAP_CAND]] if ld.size else ld
+        if js.size and ls.size:
+            act_sw = act_up[:, js, None] - Wi[:, None, ls]
+            v_sw = (
+                np.maximum(row_lo[:, None, None] - act_sw, 0.0)
+                + np.maximum(act_sw - row_hi[:, None, None], 0.0)
+            ).sum(axis=0)
+            v_sw = np.where(
+                can_up[js, None] & can_dn[None, ls]
+                & (js[:, None] != ls[None, :]),
+                v_sw,
+                np.inf,
+            )
+        else:
+            v_sw = np.full((1, 1), np.inf)
+
+        best_v = min(v_up.min(), v_dn.min(), v_sw.min())
+        if best_v >= viol - TOL:
+            return None  # no move strictly reduces violation
+        # among near-best violation reducers, prefer the cheapest objective
+        if best_v == v_sw.min():
+            jj, ll = np.unravel_index(int(np.argmin(v_sw)), v_sw.shape)
+            j, l = int(js[jj]), int(ls[ll])
+            x[int_idx[j]] += 1
+            x[int_idx[l]] -= 1
+            act += Wi[:, j] - Wi[:, l]
+        elif best_v == v_up.min():
+            j = int(np.argmin(np.where(v_up <= best_v + TOL, ci, np.inf)))
+            x[int_idx[j]] += 1
+            act += Wi[:, j]
+        else:
+            j = int(np.argmin(np.where(v_dn <= best_v + TOL, -ci, np.inf)))
+            x[int_idx[j]] -= 1
+            act -= Wi[:, j]
+        viol = violation(act)
+    return None
+
+
 def local_search(
     Wx: np.ndarray,
     c: np.ndarray,

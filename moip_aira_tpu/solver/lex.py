@@ -31,16 +31,24 @@ from moip_aira_tpu.solver.status import SolveStatus
 
 
 class LexRequest(NamedTuple):
-    """One CLMOIP subproblem: an objective-bound vector and a permutation."""
+    """One CLMOIP subproblem: an objective-bound vector and a permutation.
+
+    ``x_hint`` is an optional integer point from a RELATED solve (e.g. the
+    parent rung of a bound-sweep chain, solver/sweep.py): it may violate the
+    new objective-bound row by a front step, so backends repair it
+    (solver/heuristics.py repair) into a warm incumbent before use.  Purely
+    advisory — correctness never depends on it."""
 
     rhs: np.ndarray  # (objcnt,) float, +-inf allowed
     perm: Sequence[int]  # full permutation of range(objcnt)
+    x_hint: Optional[np.ndarray] = None  # (n,) structural point or None
 
 
 class LexOutcome(NamedTuple):
     status: SolveStatus
     result: Optional[np.ndarray]  # (objcnt,) int64 objective values
     ip_solves: int  # number of single-objective MIPs solved
+    x: Optional[np.ndarray] = None  # optimal structural point (if tracked)
 
 
 class NumpyLexBackend:

@@ -127,6 +127,15 @@ def make_pallas_bb_batch(
     # host as ITERLIM instead of claiming OPTIMAL (which certifies, or at
     # worst costs the same host LP): cap it at half the node budget.
     stall_exit = min(STALL_EXIT, max(60, node_iters // 2))
+    # phase-1 stall exit: a lane still primal-infeasible after ``p1_stall``
+    # consecutive zero-progress pivots (Bland kicked in at STALL_LIMIT and
+    # hasn't escaped) is in an f32 degenerate stall it will not leave —
+    # measured (2AP20/2AP40): every ITERLIM record burned its FULL per-node
+    # budget.  Claiming ITERLIM at the stall threshold instead halves the
+    # wasted device ticks per stalled node and frees the lane for the rest
+    # of its fragment; the record lands on the same host path either way.
+    # MOIP_FRAG_P1_STALL=0 disables (burn the full node budget as before).
+    p1_stall = int(os.environ.get("MOIP_FRAG_P1_STALL", str(stall_exit)))
     #: dual-simplex reoptimisation of warm nodes — implemented, MEASURED,
     #: and default OFF: on 2AP20 it ran 134.2 s vs 39.9 s (host records
     #: 3015 vs 540; iterlim 1503 vs 279, false INFEASIBLE claims 926 vs
@@ -153,8 +162,15 @@ def make_pallas_bb_batch(
         + F * (128 + m_p + PW)
     ) * 4
     bytes_shared = (m_p * nc_p + nc_p * PW) * 4
+    # Per-chunk VMEM budget for the autosizer.  The grid runs chunks
+    # SEQUENTIALLY per core, so wave wall-time scales with the chunk count:
+    # doubling CHUNK halves the sequential passes per wave.  v5e has 128 MB
+    # of VMEM per core (vmem_limit below already asks for 100 MB); the
+    # budget only needs to leave room for the in/out blocks (~10-15 MB at
+    # reference shapes).  MOIP_FRAG_VMEM_MB overrides for experiments.
+    vmem_budget = int(os.environ.get("MOIP_FRAG_VMEM_MB", "44")) * 2**20
     CHUNK = 256
-    while CHUNK > 8 and bytes_shared + CHUNK * per_lane > 11 * 2**20:
+    while CHUNK > 8 and bytes_shared + CHUNK * per_lane > vmem_budget:
         CHUNK //= 2
     if batch < CHUNK:
         CHUNK = max(8, batch)
@@ -789,6 +805,18 @@ def make_pallas_bb_batch(
                 OPTIMAL,
                 lp_new,
             )
+            # phase-1 stall exit (see p1_stall above): give up early on
+            # primal-infeasible lanes making zero progress — they never
+            # recover in f32 and the audit sends them to the host either way
+            if p1_stall > 0:
+                lp_new = jnp.where(
+                    (lp_new == RUNNING)
+                    & stepping0
+                    & phase1
+                    & (stall[:, 0] >= p1_stall),
+                    ITERLIM,
+                    lp_new,
+                )
             # per-node iteration cap
             lp_new = jnp.where(
                 (lp_new == RUNNING) & stepping0 & (niter[:, 0] >= node_iters),
@@ -1045,12 +1073,15 @@ def make_pallas_bb_batch(
         # live) was measured on 2AP20 and LOST: the tail lanes genuinely
         # need the ticks, and cutting them converts device ticks into
         # dispatch round trips + audit resumes (117 s -> 153-190 s).
-        jax.lax.while_loop(
+        ticks, _ = jax.lax.while_loop(
             lambda cr: (cr[1] > 0) & (cr[0] < max_ticks), body, (it0, n0)
         )
 
         best_ref[...] = best[...]
         nlog_ref[...] = ncnt[...]
+        # lock-step tick count this chunk ran (telemetry: per-tick cost =
+        # device wave time / sum of chunk ticks) — rides titer column 1
+        titer_ref[...] = jnp.where(cid128 == 1, ticks, titer_ref[...])
         # final LP state: a lane stopped mid-solve by the tick budget
         # resumes from THIS basis next call instead of re-pivoting from its
         # parent's (the host threads it into the reopened pending node)
@@ -1175,6 +1206,7 @@ def make_pallas_bb_batch(
             nlog[:, 0],
             lstate[:, 0],
             iters[:, 0],
+            iters[:, 1],  # per-chunk lock-step tick count (telemetry)
             lgs[:, :, :8],
             lgb,
             lga,
@@ -1186,12 +1218,12 @@ def make_pallas_bb_batch(
         if wb is None:
             wb = jnp.full((NB, m), -1, jnp.int32)
             wa = jnp.zeros((NB, n + m), jnp.int32)
-        best, bestx, nlog, lstate, iters, lgs, lgb, lga, fb, fa = _run_w(
-            Wp_j, im_j, pk_j, c, lo, hi, par, wb, wa
+        best, bestx, nlog, lstate, iters, ticks, lgs, lgb, lga, fb, fa = (
+            _run_w(Wp_j, im_j, pk_j, c, lo, hi, par, wb, wa)
         )
         return dict(
             best=best, bestx=bestx, nlog=nlog, lstate=lstate, iters=iters,
-            lg_scal=lgs, lg_basis=lgb, lg_atup=lga,
+            ticks=ticks, lg_scal=lgs, lg_basis=lgb, lg_atup=lga,
             fin_basis=fb, fin_atup=fa,
         )
 

@@ -186,10 +186,14 @@ def sweep_front(
     cover = _Cover()
     in_flight: dict = {}  # req index (backend-side) -> bound value
 
-    def _mk_req(b: int) -> LexRequest:
+    def _mk_req(b: int, hint=None) -> LexRequest:
         rhs = free.copy()
         rhs[1] = float(sgn * b)  # obj1 <= b (MIN) / >= -b (MAX)
-        return LexRequest(rhs=rhs, perm=[0, 1])
+        # the parent rung's optimum rides along as a repairable warm-
+        # incumbent hint (solver/heuristics.py repair): it violates the new
+        # bound by one front step, so a couple of greedy swaps turn it into
+        # a near-optimal incumbent that collapses the child's B&B tree
+        return LexRequest(rhs=rhs, perm=[0, 1], x_hint=hint)
 
     def _reseed() -> Optional[int]:
         """Top of the largest uncovered gap whose top no chain claims."""
@@ -217,13 +221,15 @@ def sweep_front(
             w_r = int(sgn * r[1])
             cover.add(w_r, b)
             cand = w_r - 1  # the chain's next rung (the ladder step)
+        hint = getattr(out, "x", None)
         if cand is None or cand < lo_w or cover.contains(cand) or (
             cand in in_flight.values()
         ):
             cand = _reseed()  # chain died: steal the largest open gap
+            hint = None  # a reseeded gap top is unrelated to this point
         if cand is None:
             return []
-        req = _mk_req(cand)
+        req = _mk_req(cand, hint=hint)
         # the backend assigns the new request the next index in ITS list;
         # track it by that convention (wave appends in order)
         in_flight[feeder.next_idx] = cand
@@ -293,12 +299,13 @@ def sweep_front(
 class _NoIps:
     """Outcome proxy reporting 0 ip_solves (already counted by the caller)."""
 
-    __slots__ = ("result", "status", "ip_solves")
+    __slots__ = ("result", "status", "ip_solves", "x")
 
     def __init__(self, out):
         self.result = out.result
         self.status = out.status
         self.ip_solves = 0
+        self.x = getattr(out, "x", None)
 
 
 def _finish(pts, ip_count, rounds, batch_sizes) -> SweepResult:

@@ -375,7 +375,7 @@ class WaveLexBackend:
         self.fragments = bool(fragments)
         self.frag_stats = {
             "records": 0, "host_recs": 0, "reopened": 0, "resumed": 0,
-            "lanes": 0, "waves": 0, "warm": 0,
+            "lanes": 0, "waves": 0, "warm": 0, "ticks": 0,
             "dev_iters": 0, "max_iters": 0, "ticked_out": 0,
             # iterlim_p1 = iteration-limited records still primal-infeasible
             # at close (phase-1 stalls) — the anti-degeneracy diagnostic
@@ -447,7 +447,7 @@ class WaveLexBackend:
             b2 = P(axes, None)
             b3 = P(axes, None, None)
             out_specs = dict(
-                best=b1, bestx=b2, nlog=b1, lstate=b1, iters=b1,
+                best=b1, bestx=b2, nlog=b1, lstate=b1, iters=b1, ticks=b1,
                 lg_scal=b3, lg_basis=b3, lg_atup=b3,
                 fin_basis=b2, fin_atup=b2,
             )
@@ -490,12 +490,26 @@ class WaveLexBackend:
         if x_warm is not None:
             # the previous stage's optimum is feasible here (its objective
             # bound was fixed at the achieved value) -> warm incumbent,
-            # polished by 1-swap local search (solver/heuristics.py)
-            from moip_aira_tpu.solver.heuristics import candidate_value, local_search
+            # polished by 1-swap local search (solver/heuristics.py).
+            # A sweep-chain hint (LexRequest.x_hint) violates the NEW
+            # objective bound by one front step — repair it first.
+            from moip_aira_tpu.solver.heuristics import (
+                candidate_value, local_search, repair,
+            )
 
             glo = np.concatenate([self.problem.lb, t.llo])
             ghi = np.concatenate([self.problem.ub, t.lhi])
             v = candidate_value(self._A_full, t.c_struct, glo, ghi, x_warm)
+            if v is None and self.int_idx.size:
+                xr = repair(
+                    self._A_full, t.c_struct, glo, ghi,
+                    np.asarray(x_warm, dtype=np.float64), self.int_idx,
+                )
+                if xr is not None:
+                    x_warm = xr
+                    v = candidate_value(
+                        self._A_full, t.c_struct, glo, ghi, x_warm
+                    )
             if v is not None:
                 bx = np.asarray(x_warm, dtype=np.float64).copy()
                 if self.int_idx.size:
@@ -1029,6 +1043,7 @@ class WaveLexBackend:
                 f"reopen={self.frag_stats['reopened']} "
                 f"resume={self.frag_stats['resumed']} "
                 f"warm={self.frag_stats['warm']} "
+                f"ticks={self.frag_stats['ticks']} "
                 f"iters={self.frag_stats['dev_iters']} "
                 f"maxit={self.frag_stats['max_iters']} "
                 f"tickout={self.frag_stats['ticked_out']} "
@@ -1065,15 +1080,26 @@ class WaveLexBackend:
         from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
         wave, nb, out = submitted
+        with GLOBAL_TIMINGS.span("frag.device_exec"):
+            # wait for execution separately from the bulk transfer so the
+            # fine-timing split tells device ticks from tunnel bandwidth
+            out["nlog"].block_until_ready()
         with GLOBAL_TIMINGS.span("wave.device_frag"):
             # ONE device->host transfer for all outputs (tunnel latency)
-            nlog_d, lgs_d, lgb_d, lga_d, fb_d, fa_d, it_d, ls_d = jax.device_get(
-                (
-                    out["nlog"], out["lg_scal"], out["lg_basis"],
-                    out["lg_atup"], out["fin_basis"], out["fin_atup"],
-                    out["iters"], out["lstate"],
+            nlog_d, lgs_d, lgb_d, lga_d, fb_d, fa_d, it_d, ls_d, tk_d = (
+                jax.device_get(
+                    (
+                        out["nlog"], out["lg_scal"], out["lg_basis"],
+                        out["lg_atup"], out["fin_basis"], out["fin_atup"],
+                        out["iters"], out["lstate"], out["ticks"],
+                    )
                 )
             )
+        # per-chunk lock-step tick counts (one value per lane, equal within
+        # a chunk): sum of distinct chunk ticks = device tick-loop length
+        tk = np.asarray(tk_d)
+        ch = self._frag_meta["chunk"]
+        self.frag_stats["ticks"] += int(tk[::ch].sum())
         it_nb = np.asarray(it_d)[:nb]
         self.frag_stats["dev_iters"] += int(it_nb.sum())
         self.frag_stats["max_iters"] = max(
@@ -1539,7 +1565,8 @@ class WaveLexBackend:
                 out = LexOutcome(SolveStatus.INFEASIBLE, None, int(ips[ri]))
             else:
                 out = LexOutcome(
-                    SolveStatus.OPTIMAL, results[ri].copy(), int(ips[ri])
+                    SolveStatus.OPTIMAL, results[ri].copy(), int(ips[ri]),
+                    x=xwarm_by_req[ri],
                 )
             for nr in feeder(ri, out) or ():
                 nj = len(reqs)
@@ -1550,7 +1577,12 @@ class WaveLexBackend:
                 srhs_by_req.append(np.asarray(nr.rhs, dtype=np.float64).copy())
                 perms.append(list(nr.perm))
                 xwarm_by_req.append(None)
-                still.append(self._stage_task(nj, 0, perms[nj], srhs_by_req[nj]))
+                still.append(
+                    self._stage_task(
+                        nj, 0, perms[nj], srhs_by_req[nj],
+                        x_warm=getattr(nr, "x_hint", None),
+                    )
+                )
 
         for task in pool:
             if (task.nodes and not task.failed) or task.inflight > 0:
@@ -1625,7 +1657,10 @@ class WaveLexBackend:
         state = (reqs, results, ips, infeasible, srhs_by_req, perms, xwarm_by_req)
 
         pool = [
-            self._stage_task(i, 0, perms[i], srhs_by_req[i])
+            self._stage_task(
+                i, 0, perms[i], srhs_by_req[i],
+                x_warm=getattr(reqs[i], "x_hint", None),
+            )
             for i in range(n0)
         ]
         from collections import deque
@@ -1666,6 +1701,9 @@ class WaveLexBackend:
                 out.append(LexOutcome(SolveStatus.INFEASIBLE, None, int(ips[i])))
             else:
                 out.append(
-                    LexOutcome(SolveStatus.OPTIMAL, results[i].copy(), int(ips[i]))
+                    LexOutcome(
+                        SolveStatus.OPTIMAL, results[i].copy(), int(ips[i]),
+                        x=xwarm_by_req[i],
+                    )
                 )
         return out
