@@ -154,6 +154,159 @@ def repair(
     return None
 
 
+class _AssignStruct:
+    """Detected 2-regular equality structure (assignment family).
+
+    Each column has 0/1 coefficients in exactly two all-equality rows with
+    RHS 1, and those rows 2-color into sides A and B — the bipartite
+    assignment structure.  Single ±1 moves or swaps always break two
+    equality rows, so the minimal feasibility-preserving move is a 2x2
+    CYCLE: two chosen cells (a1,b1),(a2,b2) -> (a1,b2),(a2,b1).
+    """
+
+    __slots__ = ("sideA", "sideB", "colA", "colB", "pair2col", "ineq_rows")
+
+    def __init__(self, sideA, sideB, colA, colB, pair2col, ineq_rows):
+        self.sideA = sideA
+        self.sideB = sideB
+        self.colA = colA  # (n,) side-A index per column
+        self.colB = colB  # (n,) side-B index per column
+        self.pair2col = pair2col  # (|A|, |B|) column id or -1
+        self.ineq_rows = ineq_rows  # non-equality row indices
+
+
+def detect_assignment(Wx, lo, hi) -> Optional[_AssignStruct]:
+    """Detect the assignment structure or return None (cheap, exact)."""
+    m, n = Wx.shape
+    row_lo, row_hi = lo[n:], hi[n:]
+    eq = np.isfinite(row_lo) & (row_lo == row_hi)
+    eqi = np.flatnonzero(eq)
+    if eqi.size < 2:
+        return None
+    E = Wx[eqi]
+    if not np.all((E == 0) | (E == 1)) or not np.all(row_lo[eqi] == 1.0):
+        return None
+    if not np.all(E.sum(axis=0) == 2):
+        return None
+    if not (np.all(lo[:n] == 0) and np.all(hi[:n] == 1)):
+        return None
+    # 2-color the equality rows: rows sharing a column get opposite colors
+    color = np.full(eqi.size, -1, dtype=np.int64)
+    first = np.argmax(E, axis=0)  # first row of each column
+    second = E.shape[0] - 1 - np.argmax(E[::-1], axis=0)
+    color[first[0]] = 0
+    for _ in range(eqi.size):
+        changed = False
+        for j in range(n):
+            a, b = first[j], second[j]
+            if color[a] >= 0 and color[b] < 0:
+                color[b] = 1 - color[a]
+                changed = True
+            elif color[b] >= 0 and color[a] < 0:
+                color[a] = 1 - color[b]
+                changed = True
+            elif color[a] >= 0 and color[a] == color[b]:
+                return None  # odd structure: not bipartite
+        if not changed:
+            break
+    if np.any(color < 0):
+        return None  # disconnected: bail (could color per component)
+    sideA = np.flatnonzero(color == 0)
+    sideB = np.flatnonzero(color == 1)
+    posA = np.full(eqi.size, -1, dtype=np.int64)
+    posB = np.full(eqi.size, -1, dtype=np.int64)
+    posA[sideA] = np.arange(sideA.size)
+    posB[sideB] = np.arange(sideB.size)
+    colA = np.where(color[first] == 0, posA[first], posA[second])
+    colB = np.where(color[first] == 1, posB[first], posB[second])
+    if np.any(colA < 0) or np.any(colB < 0):
+        return None
+    pair2col = np.full((sideA.size, sideB.size), -1, dtype=np.int64)
+    pair2col[colA, colB] = np.arange(n)
+    ineq_rows = np.flatnonzero(~eq)
+    return _AssignStruct(eqi[sideA], eqi[sideB], colA, colB, pair2col, ineq_rows)
+
+
+def cycle_improve(
+    Wx: np.ndarray,
+    c: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    x0: np.ndarray,
+    struct: _AssignStruct,
+    max_moves: int = 40,
+) -> Optional[np.ndarray]:
+    """Repair + improve an assignment point by best 2x2 cycle moves.
+
+    Phase 1 (repair): while any inequality row is violated, apply the cycle
+    that most reduces total violation (ties: objective) — each move must
+    strictly reduce violation, so it terminates.  Phase 2 (polish): apply
+    the best objective-improving cycle that keeps feasibility until a local
+    optimum.  Returns the final point (feasible), or None if repair fails.
+
+    This is the assignment-family counterpart of ``repair``/``local_search``
+    (whose single swaps always break two equality rows here).  All O(k²)
+    pair work is vectorised over the k = |assignment| chosen cells.
+    """
+    n = Wx.shape[1]
+    x = np.asarray(x0, dtype=np.float64).copy()
+    x[:n] = np.rint(x[:n])
+    Wi = Wx[struct.ineq_rows]  # (mi, n)
+    r_lo = lo[n:][struct.ineq_rows]
+    r_hi = hi[n:][struct.ineq_rows]
+
+    def viol_of(a):
+        return np.maximum(r_lo - a, 0.0).sum() + np.maximum(a - r_hi, 0.0).sum()
+
+    for _ in range(max_moves):
+        ones = np.flatnonzero(x > 0.5)
+        k = ones.size
+        if k < 2:
+            break
+        act = Wi @ x
+        viol = viol_of(act)
+        a_of = struct.colA[ones]  # (k,)
+        b_of = struct.colB[ones]
+        # cross columns for every pair (i, j): cell (a_i, b_j)
+        cross = struct.pair2col[a_of[:, None], b_of[None, :]]  # (k, k)
+        valid = (cross >= 0) & (struct.pair2col[a_of, b_of][:, None] >= 0)
+        np.fill_diagonal(valid, False)
+        # pair (i, j) move: drop ones[i], ones[j]; add cross[i,j], cross[j,i]
+        valid &= cross.T >= 0
+        safe = np.where(cross >= 0, cross, 0)
+        dW = (
+            Wi[:, safe]  # (mi, k, k) add (a_i, b_j)
+            + np.transpose(Wi[:, safe], (0, 2, 1))  # add (a_j, b_i)
+            - Wi[:, ones][:, :, None]
+            - Wi[:, ones][:, None, :]
+        )
+        act_new = act[:, None, None] + dW
+        v_new = (
+            np.maximum(r_lo[:, None, None] - act_new, 0.0)
+            + np.maximum(act_new - r_hi[:, None, None], 0.0)
+        ).sum(axis=0)
+        dc = (
+            c[safe] + c[safe].T - c[ones][:, None] - c[ones][None, :]
+        )
+        v_new = np.where(valid, v_new, np.inf)
+        if viol > TOL:
+            best_v = v_new.min()
+            if best_v >= viol - TOL:
+                return None  # repair stuck
+            cand = np.where(v_new <= best_v + TOL, dc, np.inf)
+            i, j = np.unravel_index(int(np.argmin(cand)), cand.shape)
+        else:
+            gain = np.where(v_new <= TOL, dc, np.inf)
+            i, j = np.unravel_index(int(np.argmin(gain)), gain.shape)
+            if gain[i, j] >= -TOL:
+                return x  # local optimum, feasible
+        x[ones[i]] = 0.0
+        x[ones[j]] = 0.0
+        x[cross[i, j]] = 1.0
+        x[cross[j, i]] = 1.0
+    return x if viol_of(Wi @ x) <= TOL else None
+
+
 def local_search(
     Wx: np.ndarray,
     c: np.ndarray,

@@ -98,6 +98,7 @@ def make_pallas_bb_batch(
     cost_tol: float = 3e-5,
     pivot_tol: float = 3e-5,
     interpret: bool = False,
+    aot: bool = False,
 ):
     """Build the fragment solver.
 
@@ -1213,6 +1214,28 @@ def make_pallas_bb_batch(
             fb,
             fa,
         )
+
+    if aot and not interpret:
+        # AOT-compile + disk-cache the executable (utils/aot_cache.py): the
+        # axon platform's server-side compile otherwise re-runs per process
+        # (measured 80-950 s for this kernel at reference shapes).  Lowered
+        # under x64(False) to match solve_fragments' call-time context.
+        from moip_aira_tpu.utils.aot_cache import cached_compile
+
+        with jax.enable_x64(False):
+            _run_w = cached_compile(
+                _run_w,
+                (
+                    Wp_j, im_j, pk_j,
+                    jnp.zeros((NB, n + m), jnp.float32),
+                    jnp.zeros((NB, n + m), jnp.float32),
+                    jnp.zeros((NB, n + m), jnp.float32),
+                    jnp.zeros((NB, 4), jnp.float32),
+                    jnp.full((NB, m), -1, jnp.int32),
+                    jnp.zeros((NB, n + m), jnp.int32),
+                ),
+                tag=f"bb-m{m}-n{n}-b{NB}-F{F}",
+            )
 
     def solve_fragments(c, lo, hi, par, wb=None, wa=None):
         if wb is None:

@@ -57,6 +57,7 @@ def make_pallas_rev_batch(
     cost_tol: float = 3e-5,
     pivot_tol: float = 3e-5,
     interpret: bool = False,
+    aot: bool = False,
 ):
     """Build fn(c, lo, hi[, wb, wa]) -> (status, obj, x, basis, at_upper, iters).
 
@@ -640,6 +641,26 @@ def make_pallas_rev_batch(
             atup[:, : n + m],
             iters[:, 0],
         )
+
+    if aot and not interpret:
+        # AOT-compile + disk-cache the executable (utils/aot_cache.py): the
+        # axon platform's server-side compile otherwise re-runs per process.
+        # Lowered under x64(False) to match the caller's call-time context.
+        from moip_aira_tpu.utils.aot_cache import cached_compile
+
+        with jax.enable_x64(False):
+            _solve_batch_w = cached_compile(
+                _solve_batch_w,
+                (
+                    Wp_j,
+                    jnp.zeros((NB, n + m), jnp.float32),
+                    jnp.zeros((NB, n + m), jnp.float32),
+                    jnp.zeros((NB, n + m), jnp.float32),
+                    jnp.full((NB, m), -1, jnp.int32),
+                    jnp.zeros((NB, n + m), jnp.int32),
+                ),
+                tag=f"rev-m{m}-n{n}-b{NB}",
+            )
 
     def solve_batch(c, lo, hi, wb=None, wa=None):
         if wb is None:

@@ -236,6 +236,9 @@ class WaveLexBackend:
                 # explicit engine="pallas*" on CPU runs the Mosaic kernel in
                 # interpret mode — slow, but lets tests cover the real path
                 interpret=_interp,
+                # AOT-executable disk cache (utils/aot_cache.py); a mesh
+                # needs a traceable fn for shard_map, so AOT is off there
+                aot=mesh is None and not _interp,
             )
             self._pallas_meta = pmeta
             if mesh is not None:
@@ -434,6 +437,9 @@ class WaveLexBackend:
             node_iters=node_iters,
             max_ticks=max(max_ticks, 2 * node_iters),
             interpret=interp,
+            # AOT-executable disk cache; shard_map below needs a traceable
+            # fn, so AOT stays off under a mesh
+            aot=self.mesh is None and not interp,
         )
         if self.mesh is not None:
             # shard the fragment kernel over the mesh batch axis, exactly
@@ -460,6 +466,20 @@ class WaveLexBackend:
             )
 
     # -- stage plumbing ----------------------------------------------------
+    def _assign_struct(self, glo, ghi):
+        """Cached assignment-structure detection (heuristics.detect_assignment).
+
+        The equality structure lives in the STRUCTURAL rows (identical for
+        every stage task — objective-bound rows are always inequalities),
+        so one detection serves the whole solve."""
+        if not hasattr(self, "_assign_struct_cache"):
+            from moip_aira_tpu.solver.heuristics import detect_assignment
+
+            self._assign_struct_cache = detect_assignment(
+                self._A_full, glo, ghi
+            )
+        return self._assign_struct_cache
+
     def _stage_task(self, req_idx, stage, perm, srhs, x_warm=None) -> _StageTask:
         j = perm[stage]
         sign = 1.0 if self.is_min else -1.0
@@ -492,19 +512,30 @@ class WaveLexBackend:
             # bound was fixed at the achieved value) -> warm incumbent,
             # polished by 1-swap local search (solver/heuristics.py).
             # A sweep-chain hint (LexRequest.x_hint) violates the NEW
-            # objective bound by one front step — repair it first.
+            # objective bound by one front step — repair it first: unit
+            # moves/swaps for inequality structures, 2x2 cycle moves for
+            # the assignment family (where any single swap breaks two
+            # equality rows).
             from moip_aira_tpu.solver.heuristics import (
-                candidate_value, local_search, repair,
+                candidate_value, cycle_improve, local_search, repair,
             )
 
             glo = np.concatenate([self.problem.lb, t.llo])
             ghi = np.concatenate([self.problem.ub, t.lhi])
+            struct = self._assign_struct(glo, ghi)
             v = candidate_value(self._A_full, t.c_struct, glo, ghi, x_warm)
             if v is None and self.int_idx.size:
-                xr = repair(
-                    self._A_full, t.c_struct, glo, ghi,
-                    np.asarray(x_warm, dtype=np.float64), self.int_idx,
-                )
+                xr = None
+                if struct is not None:
+                    xr = cycle_improve(
+                        self._A_full, t.c_struct, glo, ghi,
+                        np.asarray(x_warm, dtype=np.float64), struct,
+                    )
+                if xr is None:
+                    xr = repair(
+                        self._A_full, t.c_struct, glo, ghi,
+                        np.asarray(x_warm, dtype=np.float64), self.int_idx,
+                    )
                 if xr is not None:
                     x_warm = xr
                     v = candidate_value(
@@ -513,9 +544,23 @@ class WaveLexBackend:
             if v is not None:
                 bx = np.asarray(x_warm, dtype=np.float64).copy()
                 if self.int_idx.size:
-                    bx, v = local_search(
-                        self._A_full, t.c_struct, glo, ghi, bx, self.int_idx
-                    )
+                    if struct is not None:
+                        # assignment family: 1-swap moves are sterile
+                        # (equality rows); polish by cycle moves instead
+                        bx2 = cycle_improve(
+                            self._A_full, t.c_struct, glo, ghi, bx, struct
+                        )
+                        if bx2 is not None:
+                            v2 = candidate_value(
+                                self._A_full, t.c_struct, glo, ghi, bx2
+                            )
+                            if v2 is not None and v2 < v:
+                                bx, v = bx2, v2
+                    else:
+                        bx, v = local_search(
+                            self._A_full, t.c_struct, glo, ghi, bx,
+                            self.int_idx,
+                        )
                     t.ls_budget -= 1
                 t.best = v
                 t.best_x = bx

@@ -1,0 +1,107 @@
+"""Persistent AOT-executable cache — kills the per-process device compile.
+
+The axon TPU platform defers its real (server-side) compilation to the first
+EXECUTION of a program, and that compile is both expensive (measured 80-950 s
+for the fragment kernel at reference shapes) and uncached across processes —
+jax's own persistent compilation cache only caches the client-side XLA step
+(measured ~23 s), so every fresh process pays the server compile again.
+
+The platform advertises ``SerializedExecutable`` support, which
+``jax.experimental.serialize_executable`` rides: a fully-compiled executable
+(including the device binary) round-trips through bytes.  This module caches
+those bytes on disk keyed by jax's own persistent-cache key of the lowered
+module — the key covers the canonicalized program, jaxlib version, backend
+fingerprint, XLA flags and compile options, so a stale entry is impossible
+without a key change (jax._src.cache_key.get).
+
+Failure tolerance: every step degrades to the plain jit path — a cache
+entry that fails to deserialize is deleted and recompiled; serialization
+errors are swallowed after the compile succeeded.
+
+No reference counterpart (CPLEX ships precompiled); this is runtime
+infrastructure the TPU design needs to match CPLEX's zero-warmup UX.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+
+logger = logging.getLogger(__name__)
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/moip_aira_tpu_exec")
+
+
+def cache_dir() -> str:
+    return os.environ.get("MOIP_EXEC_CACHE", _DEFAULT_DIR)
+
+
+def enabled() -> bool:
+    return os.environ.get("MOIP_EXEC_CACHE", "") != "0"
+
+
+def _key_for(lowered) -> str:
+    import jax
+    import numpy as np
+    from jax._src import cache_key as ck
+    from jax._src import compiler
+
+    module = lowered.compiler_ir("stablehlo")
+    backend = jax.devices()[0].client
+    opts = compiler.get_compile_options(num_replicas=1, num_partitions=1)
+    return ck.get(module, np.array(jax.devices()[:1]), opts, backend)
+
+
+def cached_compile(jitted, example_args, tag: str):
+    """Return a compiled callable for ``jitted`` at ``example_args`` shapes.
+
+    Loads a serialized executable when one exists for this exact program on
+    this platform; otherwise compiles (paying the device compile once per
+    machine) and serializes for every later process.  Returns the plain
+    ``jitted`` on any infrastructure failure.
+    """
+    if not enabled():
+        return jitted
+    try:
+        lowered = jitted.lower(*example_args)
+        key = _key_for(lowered)
+    except Exception as e:  # pragma: no cover - platform-dependent
+        logger.info("aot_cache: lowering/key failed (%s); plain jit", e)
+        return jitted
+    path = os.path.join(cache_dir(), f"{tag}-{key}.pkl")
+    if os.path.exists(path):
+        try:
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load,
+            )
+
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            compiled = deserialize_and_load(payload, in_tree, out_tree)
+            logger.info("aot_cache: loaded %s", os.path.basename(path))
+            return compiled
+        except Exception as e:  # stale/corrupt entry: recompile
+            logger.info("aot_cache: load failed (%s); recompiling", e)
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    try:
+        compiled = lowered.compile()
+    except Exception as e:  # pragma: no cover - fall back to lazy jit
+        logger.info("aot_cache: AOT compile failed (%s); plain jit", e)
+        return jitted
+    try:
+        from jax.experimental.serialize_executable import serialize
+
+        payload, in_tree, out_tree = serialize(compiled)
+        os.makedirs(cache_dir(), exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            pickle.dump((payload, in_tree, out_tree), fh)
+        os.replace(tmp, path)
+        logger.info("aot_cache: wrote %s", os.path.basename(path))
+    except Exception as e:  # serialization unsupported: still use compiled
+        logger.info("aot_cache: serialize failed (%s)", e)
+    return compiled

@@ -109,3 +109,70 @@ def test_sweep_hint_rides_feeder_to_wave_incumbent():
     be = WaveLexBackend(p, batch_width=16)
     front = solve_front(p, n_workers=2, backend=be)
     assert front.solution_count == 9
+
+
+def _ap_problem():
+    """3x3 assignment with two cost objectives, as (Wx, c0, c1, lo, hi)."""
+    n_, N = 9, 3
+    rows = np.zeros((6, n_))
+    for r in range(N):
+        for cc in range(N):
+            rows[r, r * N + cc] = 1.0  # row sums
+            rows[N + cc, r * N + cc] = 1.0  # col sums
+    rng = np.random.default_rng(5)
+    c0 = rng.integers(1, 9, n_).astype(float)
+    c1 = rng.integers(1, 9, n_).astype(float)
+    Wx = np.vstack([rows, c1[None]])  # inequality row: c1 . x
+    lo = np.concatenate([np.zeros(n_), np.ones(6), [-np.inf]])
+    hi = np.concatenate([np.ones(n_), np.ones(6), [np.inf]])
+    return Wx, c0, c1, lo, hi, N
+
+
+def test_detect_assignment_and_cycle_repair():
+    from moip_aira_tpu.solver.heuristics import (
+        candidate_value, cycle_improve, detect_assignment,
+    )
+
+    Wx, c0, c1, lo, hi, N = _ap_problem()
+    st = detect_assignment(Wx, lo, hi)
+    assert st is not None
+    assert st.pair2col.shape == (N, N)
+    # identity assignment; bound the c1 row to force one cycle of repair
+    x0 = np.zeros(9)
+    x0[[0, 4, 8]] = 1.0
+    v1 = c1 @ x0
+    hi2 = hi.copy()
+    hi2[9 + 6] = v1 - 1  # violate by >= 1
+    assert candidate_value(Wx, c0, lo, hi2, x0) is None
+    x = cycle_improve(Wx, c0, lo, hi2, x0, st)
+    if x is not None:  # repair can be impossible if no cheaper c1 exists
+        assert candidate_value(Wx, c0, lo, hi2, x) is not None
+
+
+def test_cycle_improve_polishes_to_optimum():
+    """From a feasible assignment, cycle moves must reach the true optimum
+    on a 3x3 instance (verified by brute force over all 6 permutations)."""
+    import itertools
+
+    from moip_aira_tpu.solver.heuristics import cycle_improve, detect_assignment
+
+    Wx, c0, _c1, lo, hi, N = _ap_problem()
+    st = detect_assignment(Wx, lo, hi)
+    best = min(
+        sum(c0[r * N + p[r]] for r in range(N))
+        for p in itertools.permutations(range(N))
+    )
+    x0 = np.zeros(9)
+    x0[[0, 4, 8]] = 1.0
+    x = cycle_improve(Wx, c0, lo, hi, x0, st)
+    assert x is not None
+    assert c0 @ x == pytest.approx(best)
+
+
+def test_detect_assignment_rejects_knapsack():
+    from moip_aira_tpu.solver.heuristics import detect_assignment
+
+    Wx = np.array([[3.0, 4.0, 5.0]])
+    lo = np.array([0, 0, 0, -np.inf], dtype=float)
+    hi = np.array([1, 1, 1, 7.0])
+    assert detect_assignment(Wx, lo, hi) is None
