@@ -99,6 +99,7 @@ def make_pallas_bb_batch(
     pivot_tol: float = 3e-5,
     interpret: bool = False,
     aot: bool = False,
+    compact: bool = True,
 ):
     """Build the fragment solver.
 
@@ -1177,6 +1178,10 @@ def make_pallas_bb_batch(
 
     # unpack matrix for the at-upper log: word w bit b -> column 16*w + b
     unpack_cols = np.arange(nc_p)
+    #: at-upper words that carry real columns (the rest is lane padding)
+    PW_USE = -(-nc_p // 16)
+    #: compacted-record row budget per wave (see _run_w); MOIP_FRAG_CAP
+    CAP = int(os.environ.get("MOIP_FRAG_CAP", "2048"))
 
     @jax.jit
     def _run_w(Wp_arg, im_arg, pk_arg, c, lo, hi, par, wb, wa):
@@ -1201,7 +1206,7 @@ def make_pallas_bb_batch(
         (best, bestx, nlog, lstate, iters, lgs, lgb, lga, fb, fa) = pallas_fn(
             Wp_arg, im_arg, pk_arg, cp, lop, hip, parp, wbp, wap
         )
-        return (
+        out = (
             best[:, 0],
             bestx[:, : n + m],
             nlog[:, 0],
@@ -1210,10 +1215,40 @@ def make_pallas_bb_batch(
             iters[:, 1],  # per-chunk lock-step tick count (telemetry)
             lgs[:, :, :8],
             lgb,
-            lga,
+            lga[:, :, :PW_USE],
             fb,
-            fa,
+            fa[:, :PW_USE],
         )
+        if not compact:
+            return out
+        # ---- device-side record compaction --------------------------------
+        # The (NB, F, ·) log tensors are ~96% padding (measured nlog sums:
+        # ~300-600 records per 256-lane wave) and the axon tunnel moves only
+        # a few MB/s — fetching them full was ~70% of warm solve time
+        # (2AP20: 55 s of a 77 s solve).  Scatter each lane's first nlog
+        # records into one dense (CAP, ·) buffer; the host rebuilds lane
+        # offsets from nlog.  Overflow rows park in trash slot CAP and the
+        # host falls back to fetching the FULL tensors — still returned,
+        # device-resident, and free unless actually fetched.
+        nl = nlog[:, 0]
+        off = jnp.cumsum(nl) - nl  # (NB,)
+        fidx = jnp.arange(F, dtype=nl.dtype)[None, :]
+        valid = fidx < nl[:, None]
+        dest = jnp.minimum(jnp.where(valid, off[:, None] + fidx, CAP), CAP)
+        comp_scal = (
+            jnp.zeros((CAP + 1, 8), jnp.float32).at[dest].set(lgs[:, :, :8])
+        )
+        comp_basis = (
+            jnp.zeros((CAP + 1, m_p), jnp.int16)
+            .at[dest]
+            .set(lgb.astype(jnp.int16))
+        )
+        comp_atup = (
+            jnp.zeros((CAP + 1, PW_USE), jnp.float32)
+            .at[dest]
+            .set(lga[:, :, :PW_USE])
+        )
+        return out + (comp_scal[:CAP], comp_basis[:CAP], comp_atup[:CAP])
 
     if aot and not interpret:
         # AOT-compile + disk-cache the executable (utils/aot_cache.py): the
@@ -1241,14 +1276,16 @@ def make_pallas_bb_batch(
         if wb is None:
             wb = jnp.full((NB, m), -1, jnp.int32)
             wa = jnp.zeros((NB, n + m), jnp.int32)
-        best, bestx, nlog, lstate, iters, ticks, lgs, lgb, lga, fb, fa = (
-            _run_w(Wp_j, im_j, pk_j, c, lo, hi, par, wb, wa)
-        )
-        return dict(
+        res = _run_w(Wp_j, im_j, pk_j, c, lo, hi, par, wb, wa)
+        best, bestx, nlog, lstate, iters, ticks, lgs, lgb, lga, fb, fa = res[:11]
+        out = dict(
             best=best, bestx=bestx, nlog=nlog, lstate=lstate, iters=iters,
             ticks=ticks, lg_scal=lgs, lg_basis=lgb, lg_atup=lga,
             fin_basis=fb, fin_atup=fa,
         )
+        if compact:
+            out["lg_cscal"], out["lg_cbasis"], out["lg_catup"] = res[11:]
+        return out
 
     def unpack_atup(lga_np: np.ndarray) -> np.ndarray:
         """(B, F, PW) packed f32 words -> (B, F, nc) 0/1 int8."""
@@ -1263,6 +1300,7 @@ def make_pallas_bb_batch(
 
     meta = dict(
         m=m, nc=nc, n=n, m_p=m_p, nc_p=nc_p, chunk=CHUNK, F=F, D=D, PW=PW,
+        cap=CAP, compact=compact,
         unpack_atup=unpack_atup, unpack_atup1=unpack_atup1,
     )
     return solve_fragments, meta

@@ -440,6 +440,9 @@ class WaveLexBackend:
             # AOT-executable disk cache; shard_map below needs a traceable
             # fn, so AOT stays off under a mesh
             aot=self.mesh is None and not interp,
+            # record compaction halves-plus the per-wave tunnel fetch; the
+            # mesh out_specs predate it, so meshes keep the full layout
+            compact=self.mesh is None,
         )
         if self.mesh is not None:
             # shard the fragment kernel over the mesh batch axis, exactly
@@ -1129,17 +1132,58 @@ class WaveLexBackend:
             # wait for execution separately from the bulk transfer so the
             # fine-timing split tells device ticks from tunnel bandwidth
             out["nlog"].block_until_ready()
+        compact = "lg_cscal" in out
         with GLOBAL_TIMINGS.span("wave.device_frag"):
-            # ONE device->host transfer for all outputs (tunnel latency)
-            nlog_d, lgs_d, lgb_d, lga_d, fb_d, fa_d, it_d, ls_d, tk_d = (
-                jax.device_get(
-                    (
-                        out["nlog"], out["lg_scal"], out["lg_basis"],
-                        out["lg_atup"], out["fin_basis"], out["fin_atup"],
-                        out["iters"], out["lstate"], out["ticks"],
+            # ONE device->host transfer (tunnel latency + a few MB/s of
+            # bandwidth).  With compaction the (NB, F, ·) log tensors stay
+            # on the device and only the dense record buffer crosses.
+            if compact:
+                nlog_d, cs_d, cb_d, ca_d, fb_d, fa_d, it_d, ls_d, tk_d = (
+                    jax.device_get(
+                        (
+                            out["nlog"], out["lg_cscal"], out["lg_cbasis"],
+                            out["lg_catup"], out["fin_basis"],
+                            out["fin_atup"], out["iters"], out["lstate"],
+                            out["ticks"],
+                        )
                     )
                 )
-            )
+            else:
+                nlog_d, lgs_d, lgb_d, lga_d, fb_d, fa_d, it_d, ls_d, tk_d = (
+                    jax.device_get(
+                        (
+                            out["nlog"], out["lg_scal"], out["lg_basis"],
+                            out["lg_atup"], out["fin_basis"], out["fin_atup"],
+                            out["iters"], out["lstate"], out["ticks"],
+                        )
+                    )
+                )
+        if compact:
+            # rebuild the (nb, F, ·) layout host-side (microseconds) so the
+            # replay/audit below is layout-agnostic; on overflow fall back
+            # to fetching the full tensors (still device-resident)
+            F_ = self._frag_meta["F"]
+            cap = self._frag_meta["cap"]
+            nl = np.minimum(np.asarray(nlog_d), F_).astype(np.int64)
+            if int(nl.sum()) > cap:
+                self.frag_stats["cap_overflow"] = (
+                    self.frag_stats.get("cap_overflow", 0) + 1
+                )
+                with GLOBAL_TIMINGS.span("wave.device_frag"):
+                    lgs_d, lgb_d, lga_d = jax.device_get(
+                        (out["lg_scal"], out["lg_basis"], out["lg_atup"])
+                    )
+            else:
+                off = np.cumsum(nl) - nl
+                rows = off[:, None] + np.arange(F_)[None, :]
+                valid = np.arange(F_)[None, :] < nl[:, None]
+                rows = np.where(valid, rows, 0)
+                cs = np.asarray(cs_d)
+                cb = np.asarray(cb_d)
+                ca = np.asarray(ca_d)
+                lgs_d = np.where(valid[:, :, None], cs[rows], 0.0)
+                lgb_d = np.where(valid[:, :, None], cb[rows], 0)
+                lga_d = np.where(valid[:, :, None], ca[rows], 0.0)
         # per-chunk lock-step tick counts (one value per lane, equal within
         # a chunk): sum of distinct chunk ticks = device tick-loop length
         tk = np.asarray(tk_d)
