@@ -88,6 +88,7 @@ class _StageTask:
         "ls_budget",
         "fix_d",
         "inflight",
+        "pending_host",
     )
 
     def __init__(self, req_idx, stage, obj_j, c_struct, obj_int, srhs, lb, ub):
@@ -116,6 +117,7 @@ class _StageTask:
         self.ls_budget = 4  # local-search polish calls for this MIP
         self.fix_d = True  # reduced-cost fixing enabled
         self.inflight = 0  # nodes currently inside an unprocessed wave
+        self.pending_host = 0  # jobs parked in the deferred host-LP queue
 
 
 class WaveLexBackend:
@@ -390,6 +392,14 @@ class WaveLexBackend:
         #: MOIP_WAVE_PROGRESS=N -> one stderr line every N device waves
         self._progress_every = int(_os.environ.get("MOIP_WAVE_PROGRESS", "0"))
         self._t_start = None
+        #: deferred host-LP queue: (task, lo, hi, wb, wa, pb).  Audit
+        #: failures accumulate here across waves and flush in ONE lockstep
+        #: batch — solve_lp_batch's per-pivot numpy overhead amortises with
+        #: batch size (2AP40: ~40 ms/LP at J~22, ~3 ms/LP at J~512), and
+        #: deferral lets later incumbents prune queued jobs before they
+        #: ever solve (the pb entry is the node's rigorous f64 bound).
+        self._host_queue: List = []
+        self._host_flush_min = int(_os.environ.get("MOIP_HOST_FLUSH", "512"))
         if not self.fragments:
             return
         from moip_aira_tpu.solver.pallas_bb import make_pallas_bb_batch
@@ -1378,7 +1388,6 @@ class WaveLexBackend:
         # B&B decision (_apply_host_lp) runs against the FRESHEST incumbent
         # at apply time — later prunes only get easier.
         _t_aud = _time.perf_counter()
-        host_jobs: List = []  # (task, node_lo, node_hi, warm_basis, warm_atup)
         for i in range(nb):
             task, _root_lo, _root_hi, pb0, root_wb, root_wa, root_rt = wave[i]
             task.inflight -= 1
@@ -1409,8 +1418,11 @@ class WaveLexBackend:
                         # warm from the lane's stopped basis — the partial
                         # pivoting is not wasted (the batched exact LP
                         # validates and silently starts cold on a garbage
-                        # basis); queued for the wave's ONE batched solve
-                        host_jobs.append((task, olo, ohi, fb_i, fa_i > 0))
+                        # basis); parked in the deferred batch queue
+                        task.pending_host += 1
+                        self._host_queue.append(
+                            (task, olo, ohi, fb_i, fa_i > 0, float(pb0))
+                        )
                 continue
             audit = bb_audit.audit_records(
                 lgs_d[i, :nlog],
@@ -1455,11 +1467,13 @@ class WaveLexBackend:
                     elif root_wb is not None and root_wb[0] >= 0:
                         # root-level iterlim: the fragment root's own warm
                         # basis (from the certified parent that re-opened it)
-                        host_jobs.append(
+                        task.pending_host += 1
+                        self._host_queue.append(
                             (
                                 task, rep.node_lo[t], rep.node_hi[t],
                                 np.asarray(root_wb, dtype=np.int32),
                                 np.asarray(root_wa) > 0,
+                                float(audit.rec_pb[t]),
                             )
                         )
                         continue
@@ -1490,8 +1504,12 @@ class WaveLexBackend:
                         )
                         self.frag_stats["resumed"] += 1
                     continue
-                host_jobs.append(
-                    (task, rep.node_lo[t], rep.node_hi[t], wb_t, wa_t)
+                task.pending_host += 1
+                self._host_queue.append(
+                    (
+                        task, rep.node_lo[t], rep.node_hi[t], wb_t, wa_t,
+                        float(audit.rec_pb[t]),
+                    )
                 )
             if task.failed:
                 continue
@@ -1535,12 +1553,41 @@ class WaveLexBackend:
                 task.nodes.append((olo, ohi, wb_n, wa_n, pb, rt_n))
                 self.frag_stats["reopened"] += 1
 
-        # ---- 5. batched exact resolution of every collected failure --------
+        GLOBAL_TIMINGS.add("frag.audit", _time.perf_counter() - _t_aud)
+        # collected failures flush through self._host_queue in big deferred
+        # batches (see _flush_host_queue; the caller decides when)
+
+    def _flush_host_queue(self) -> None:
+        """Resolve every queued audit failure in big lockstep f64 batches.
+
+        Deferral across waves is sound: a node box's exact LP value is
+        incumbent-independent, and both the pre-solve prune here (rigorous
+        pb vs the CURRENT incumbent) and the post-solve B&B decision
+        (_apply_host_lp) only get easier as incumbents improve.
+        """
+        queue, self._host_queue = self._host_queue, []
+        if not queue:
+            return
+        nc = self.n + self.m
+        m = self.m
         # chunked so the (J, m, m) basis-inverse state stays memory-bounded
         CHUNK_J = 1024
-        for j0 in range(0, len(host_jobs), CHUNK_J):
+        live: List = []
+        for jb in queue:
+            task = jb[0]
+            task.pending_host -= 1
+            if task.failed:
+                continue
+            eps_t = INT_TOL if task.obj_int else 1e-9
+            if np.isfinite(jb[5]) and jb[5] >= task.best - eps_t:
+                continue  # pruned by an incumbent that arrived after queuing
+            live.append(jb)
+        self.frag_stats["host_pruned"] = (
+            self.frag_stats.get("host_pruned", 0) + len(queue) - len(live)
+        )
+        for j0 in range(0, len(live), CHUNK_J):
             chunk = [
-                jb for jb in host_jobs[j0 : j0 + CHUNK_J] if not jb[0].failed
+                jb for jb in live[j0 : j0 + CHUNK_J] if not jb[0].failed
             ]
             if not chunk:
                 continue
@@ -1550,7 +1597,7 @@ class WaveLexBackend:
             hiJ = np.zeros((J, nc))
             wbJ = np.full((J, m), -1, dtype=np.int64)
             waJ = np.zeros((J, nc), dtype=bool)
-            for k_, (task, jlo, jhi, jwb, jwa) in enumerate(chunk):
+            for k_, (task, jlo, jhi, jwb, jwa, _pb) in enumerate(chunk):
                 cJ[k_] = task.cvec[: self.n]
                 loJ[k_, : self.n] = jlo
                 loJ[k_, self.n :] = task.llo
@@ -1560,23 +1607,9 @@ class WaveLexBackend:
                     wbJ[k_] = jwb
                     waJ[k_] = np.asarray(jwa, dtype=bool)[:nc]
             rs = self._host_exact_lp_batch(cJ, loJ, hiJ, wbJ, waJ)
-            for (task, jlo, jhi, _wb, _wa), r in zip(chunk, rs):
+            for (task, jlo, jhi, _wb, _wa, _pb), r in zip(chunk, rs):
                 if not task.failed:
                     self._apply_host_lp(task, jlo, jhi, r)
-        GLOBAL_TIMINGS.add("frag.audit", _time.perf_counter() - _t_aud)
-
-    def _host_resolve_node(self, task, nlo, nhi, warm_basis=None, warm_atup=None):
-        """One exact host B&B step on a node whose device closure failed
-        rigor: exact f64 LP → certified prune / exact leaf / branch (children
-        go back on the task stack).  Everything here is f64, so the step is
-        sound on its own; repeated application terminates because every
-        branch strictly shrinks an integer box."""
-        lo = np.concatenate([nlo, task.llo])
-        hi = np.concatenate([nhi, task.lhi])
-        r = self._host_exact_lp(
-            task.cvec[: self.n], lo, hi, warm_basis, warm_atup
-        )
-        self._apply_host_lp(task, nlo, nhi, r)
 
     def _apply_host_lp(self, task, nlo, nhi, r):
         """The B&B decision step on an exact f64 LP result for node
@@ -1674,7 +1707,11 @@ class WaveLexBackend:
                 )
 
         for task in pool:
-            if (task.nodes and not task.failed) or task.inflight > 0:
+            if (
+                (task.nodes and not task.failed)
+                or task.inflight > 0
+                or task.pending_host > 0
+            ):
                 still.append(task)
                 continue
             ri = task.req_idx
@@ -1771,8 +1808,16 @@ class WaveLexBackend:
                 inflight.append(sub)
             if inflight:
                 self._complete_wave(inflight.popleft(), state)
+                if len(self._host_queue) >= self._host_flush_min:
+                    self._flush_host_queue()
                 pool = self._advance_pool(pool, state, feeder)
             else:
+                if self._host_queue:
+                    # drain the deferred host-LP queue: its tasks are kept
+                    # alive by pending_host and can't progress until solved
+                    self._flush_host_queue()
+                    pool = self._advance_pool(pool, state, feeder)
+                    continue
                 # nothing submittable and nothing pending — but submit-time
                 # pruning may have just emptied stacks, leaving finished
                 # tasks to advance (and possibly next stages to start)
