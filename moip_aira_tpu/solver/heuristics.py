@@ -137,7 +137,10 @@ def repair(
             return None  # no move strictly reduces violation
         # among near-best violation reducers, prefer the cheapest objective
         if best_v == v_sw.min():
-            jj, ll = np.unravel_index(int(np.argmin(v_sw)), v_sw.shape)
+            d_obj = np.where(
+                v_sw <= best_v + TOL, ci[js][:, None] - ci[ls][None, :], np.inf
+            )
+            jj, ll = np.unravel_index(int(np.argmin(d_obj)), d_obj.shape)
             j, l = int(js[jj]), int(ls[ll])
             x[int_idx[j]] += 1
             x[int_idx[l]] -= 1

@@ -153,6 +153,11 @@ def make_pallas_bb_batch(
     m_p = _round_up(m, 8)
     nc_p = _round_up(n + m_p, 128)
     PW = _round_up(-(-nc_p // 16), 128)  # packed at-upper words
+    if nc_p > np.iinfo(np.int16).max:
+        # the compact record fetch stores basis column ids as int16; a
+        # padded column count past 32767 would silently wrap them and
+        # corrupt warm/audit bases — take the full-tensor fetch instead
+        compact = False
 
     # VMEM budget per lane: LP state (BI + warm-GJ P1 + rows) + B&B + logs
     per_lane = (

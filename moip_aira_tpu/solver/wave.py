@@ -28,6 +28,7 @@ of threads.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -1179,6 +1180,16 @@ class WaveLexBackend:
                 self.frag_stats["cap_overflow"] = (
                     self.frag_stats.get("cap_overflow", 0) + 1
                 )
+                if self.frag_stats["cap_overflow"] == 2:
+                    # recurring overflow doubles per-wave transfer (compact
+                    # fetch wasted + full re-fetch) — make it visible
+                    warnings.warn(
+                        f"fragment record compaction overflowed twice "
+                        f"(records > CAP={cap}); per-wave transfer cost is "
+                        f"doubled — raise MOIP_FRAG_CAP for this workload",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 with GLOBAL_TIMINGS.span("wave.device_frag"):
                     lgs_d, lgb_d, lga_d = jax.device_get(
                         (out["lg_scal"], out["lg_basis"], out["lg_atup"])
