@@ -19,12 +19,12 @@ import os
 import sys
 import time
 
+# the TRUE reference instance + its 9-point golden (read-only), so the
+# parity guard guards the reference contract, not a regenerated twin
 EXAMPLES = (
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples")
-    if os.path.exists(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples", "2AP05.lp")
-    )
-    else "/root/reference/Examples"
+    "/root/reference/Examples"
+    if os.path.exists("/root/reference/Examples/2AP05.lp")
+    else os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples")
 )
 
 BASELINE_IPS_PER_SEC = 24 / 0.031  # reference 2AP05 footer

@@ -62,9 +62,12 @@ def instance_path(name: str) -> str:
     .out files stay valid; generated ones are cached under .bench_scale/
     with the same seed policy as the bundled set (seed=1).
     """
-    bundled = os.path.join(REPO, "examples", f"{name}.lp")
-    if os.path.exists(bundled):
-        return bundled
+    # bundled regenerations shadowing a reference name carry a G prefix
+    # (examples/README.md); row names stay family+size
+    for fname in (name, f"G{name}"):
+        bundled = os.path.join(REPO, "examples", f"{fname}.lp")
+        if os.path.exists(bundled):
+            return bundled
     m = _NAME.match(name)
     if not m:
         raise ValueError(f"unknown instance name {name!r}")
@@ -88,6 +91,8 @@ def instance_path(name: str) -> str:
 def golden_front(name: str):
     """Bundled golden front (examples/<name>.out) or None."""
     path = os.path.join(REPO, "examples", f"{name}.out")
+    if not os.path.exists(path):
+        path = os.path.join(REPO, "examples", f"G{name}.out")
     if not os.path.exists(path):
         return None
     rows = []

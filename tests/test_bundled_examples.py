@@ -16,8 +16,8 @@ from moip_aira_tpu.io import read_problem
 
 EX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
 
-CASES = [f for f in ["2AP05", "3AP05", "3KP10"] if os.path.exists(f"{EX}/{f}.out")]
-SLOW_CASES = [f for f in ["2KP50"] if os.path.exists(f"{EX}/{f}.out")]
+CASES = [f for f in ["G2AP05", "G3AP05", "G3KP10"] if os.path.exists(f"{EX}/{f}.out")]
+SLOW_CASES = [f for f in ["G2KP50"] if os.path.exists(f"{EX}/{f}.out")]
 
 
 def bundled_front(name):

@@ -21,7 +21,7 @@ def _ladder_front(p):
     "path",
     [
         f"{EXAMPLES}/2AP05.lp",
-        f"{REPO}/examples/2AP05.lp",  # bundled regeneration, MIN sense
+        f"{REPO}/examples/G2AP05.lp",  # bundled regeneration, MIN sense
     ],
 )
 def test_sweep_matches_ladder(path):
