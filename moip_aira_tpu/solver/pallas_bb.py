@@ -552,7 +552,21 @@ def make_pallas_bb_batch(
             q_p = jnp.argmax(score, axis=1).astype(jnp.int32)
 
             if use_dual:
-                # ---- dual selection (dualm lanes): leaving row, entering -
+                # ---- dual selection (dualm lanes): leaving row, then a
+                # bound-flipping (long-step) ratio test with Harris-style
+                # tie-breaking — the production dual for the massively
+                # degenerate assignment/knapsack polytopes, where the
+                # textbook min-ratio test cycles on ratio-0 breakpoints
+                # (measured r3: 2AP20 134.2 s vs 39.9 s, 926 false
+                # INFEASIBLE claims).  Walk the breakpoints of the dual
+                # piecewise-linear objective in ratio order: every BOXED
+                # breakpoint passed flips to its opposite bound (a bound
+                # -status change, NO basis change), consuming
+                # |alpha_j|*(hi_j-lo_j) of the violated row's slope; the
+                # entering column is the breakpoint where the remaining
+                # slope crosses zero.  On 0/1 polytopes every structural
+                # column is boxed, so one long step absorbs whole groups of
+                # degenerate breakpoints that each cost a full pivot before.
                 viol = infeas  # (B, m_p); zero on padded rows (0-width)
                 rD = jnp.argmax(viol, axis=1).astype(jnp.int32)
                 rDmask = row_ids == rD[:, None]
@@ -564,20 +578,81 @@ def make_pallas_bb_batch(
                 arow = mm(BIr, W_ref[...], 1, 0)  # (B, nc_p)
                 sgn_row = jnp.where(above_r, -1.0, 1.0)  # below: xB_r rises
                 a_eff = sgn_row[:, None] * arow
-                can_up_D = nbm & (~atm | free) & (a_eff < -pivot_tol)
-                can_dn_D = nbm & (atm | free) & (a_eff > pivot_tol)
+                # FIXED nonbasics (lo==hi, e.g. equality-row slacks) can
+                # never move or flip — price them out entirely, or they
+                # poison the crossing test with zero-weight breakpoints
+                boxed = finite_lo & finite_hi
+                rngj = jnp.where(boxed, hiv - lov, BIG)
+                nfx = rngj > feas_tol
+                can_up_D = nbm & nfx & (~atm | free) & (a_eff < -pivot_tol)
+                can_dn_D = nbm & nfx & (atm | free) & (a_eff > pivot_tol)
                 elig_D = can_up_D | can_dn_D
                 any_elig_D = jnp.any(elig_D, axis=1)
+                # loose eligibility: a column just UNDER the pivot
+                # tolerance blocks the INFEASIBLE claim (f32 sign noise at
+                # the threshold caused 926 false claims in r3's A/B) — the
+                # lane claims ITERLIM instead and the host resolves it
+                lt8 = pivot_tol / 8
+                elig_loose = (nbm & nfx & (~atm | free) & (a_eff < -lt8)) | (
+                    nbm & nfx & (atm | free) & (a_eff > lt8)
+                )
+                any_loose = jnp.any(elig_loose, axis=1)
                 # dual ratio |d_q| / |alpha_rq| (wrong-sign f32 noise folds
                 # to 0 = a degenerate dual step; claims stay audited)
                 numer = jnp.where(
                     can_up_D, jnp.maximum(d, 0.0), jnp.maximum(-d, 0.0)
                 )
-                safe_ar = jnp.where(
-                    jnp.abs(arow) > pivot_tol, jnp.abs(arow), 1.0
-                )
+                absa = jnp.abs(arow)
+                safe_ar = jnp.where(absa > pivot_tol, absa, 1.0)
                 ratio_Dv = jnp.where(elig_D, numer / safe_ar, BIG)
-                score_Dd = -ratio_Dv
+                # slope weight per breakpoint: boxed columns consume
+                # |alpha|*range and keep the walk going; non-boxed ones
+                # stop it (BIG weight = the slope crosses there for sure)
+                w_bp = jnp.where(elig_D, jnp.minimum(absa * rngj, BIG), 0.0)
+                wtot = jnp.sum(w_bp, axis=1)
+                # can some step absorb the violation?  Tolerance band: when
+                # the crossing lands exactly on the LAST breakpoint
+                # (wtot == viol_r, common on unit-range 0/1 columns), f32
+                # noise must not tip this false — the entering column just
+                # overshoots its opposite bound by O(tol), which the audit
+                # absorbs like any other f32 drift
+                crossed = wtot >= viol_r * 0.999 - feas_tol
+                tmax = jnp.max(jnp.where(elig_D, ratio_Dv, -1.0), axis=1) + 1.0
+
+                # binary-search the crossing ratio t*: S(t) = flip weight at
+                # ratio <= t.  24 halvings (each one masked sum, ~a matvec
+                # total); the result is VALID at any resolution — the window
+                # (tlo, thi] only narrows which breakpoint enters (wider = a
+                # shorter but still dual-feasible step), flips stay strictly
+                # below the entering ratio.
+                def bs_step(_i, tl_th):
+                    tl, th = tl_th
+                    tm = 0.5 * (tl + th)
+                    S = jnp.sum(
+                        jnp.where(ratio_Dv <= tm[:, None], w_bp, 0.0), axis=1
+                    )
+                    cross = S >= viol_r
+                    return (
+                        jnp.where(cross, tl, tm),
+                        jnp.where(cross, tm, th),
+                    )
+
+                tlo, thi = jax.lax.fori_loop(
+                    0, 24, bs_step, (jnp.full((B,), -1.0, jnp.float32), tmax)
+                )
+                cand = (
+                    elig_D
+                    & (ratio_Dv > tlo[:, None])
+                    & (ratio_Dv <= thi[:, None])
+                )
+                # Harris-style selection: among candidates within a relative
+                # tolerance of the window's min ratio, take the LARGEST
+                # pivot element (stability beats a marginally longer step)
+                rmin_D = jnp.min(jnp.where(cand, ratio_Dv, BIG), axis=1)
+                tieD = cand & (
+                    ratio_Dv <= rmin_D[:, None] * 1.001 + cost_tol
+                )
+                score_Dd = jnp.where(tieD, absa, -1.0)
                 score_Db = jnp.where(elig_D, -col_ids.astype(jnp.float32), -BIG)
                 score_D = jnp.where(eb(bland), score_Db, score_Dd)
                 q_D = jnp.argmax(score_D, axis=1).astype(jnp.int32)
@@ -589,6 +664,16 @@ def make_pallas_bb_batch(
                     can_up_D.astype(jnp.int32),
                     can_up.astype(jnp.int32),
                 )
+                # flip set: eligible boxed breakpoints strictly below the
+                # window (q's ratio is > tlo, so q is never in it); Bland
+                # -fallback lanes take plain min-index pivots, no flips
+                flipm0 = (
+                    elig_D & boxed & (ratio_Dv <= tlo[:, None]) & eb(~bland)
+                )
+                S_flips = jnp.sum(
+                    jnp.where(flipm0, absa * rngj, 0.0), axis=1
+                )
+                viol_after = jnp.maximum(viol_r - S_flips, 0.0)
             else:
                 q = q_p
                 qmask = col_ids == q[:, None]
@@ -660,7 +745,9 @@ def make_pallas_bb_batch(
             r_ratio = jnp.sum(jnp.where(rmask, ratios, 0.0), axis=1)
             if use_dual:
                 eta_rD = jnp.sum(jnp.where(rDmask, eta, 0.0), axis=1)
-                theta_D = viol_r / jnp.where(
+                # primal step: the flips already absorbed S_flips of the
+                # violation; the entering column covers the remainder
+                theta_D = viol_after / jnp.where(
                     jnp.abs(eta_rD) > 1e-12, jnp.abs(eta_rD), 1.0
                 )
                 # boolean algebra, not bool-typed selects (Mosaic i1 quirk)
@@ -686,11 +773,20 @@ def make_pallas_bb_batch(
                 ),
             ).astype(jnp.int32)
             if use_dual:
-                lp_new = jnp.where(
-                    dualm,
-                    jnp.where(any_elig_D, RUNNING, INFEASIBLE),
-                    lp_new,
+                # INFEASIBLE only on a DECISIVE dual-unbounded signal: no
+                # eligible column even at pivot_tol/8, or the violation
+                # clearly exceeds everything all flips could absorb;
+                # borderline lanes claim ITERLIM (host resolves) instead of
+                # forcing an exact LP on every f32 sign wobble
+                strong_inf = (~any_loose) | (
+                    viol_r - wtot > 10.0 * feas_tol
+                )
+                dual_stat = jnp.where(
+                    any_elig_D & crossed,
+                    RUNNING,
+                    jnp.where(strong_inf, INFEASIBLE, ITERLIM),
                 ).astype(jnp.int32)
+                lp_new = jnp.where(dualm, dual_stat, lp_new).astype(jnp.int32)
             lp_new = jnp.where(
                 stepping0, lp_new, lpstat[:, 0]
             )
@@ -703,6 +799,16 @@ def make_pallas_bb_batch(
             atup_flip = jnp.where(
                 qmask & eb(do_flip), 1 - atq[:, None], atup[...]
             )
+            if use_dual:
+                # apply the long-step bound flips: status change + one
+                # batched basic-value update (xB -= B^-1 W dz), no BI change
+                flip_app = flipm0 & eb(do_pivot & dualm)
+                atup_flip = jnp.where(flip_app, 1 - atup[...], atup_flip)
+                dz = jnp.where(
+                    flip_app, jnp.where(can_up_D, rngj, -rngj), 0.0
+                )
+                Wdz = mm(dz, W_ref[...], 1, 1)  # (B, m_p)
+                flip_dx = -jnp.sum(BI[...] * Wdz[:, None, :], axis=2)
 
             piv = jnp.sum(jnp.where(rmask, alpha, 0.0), axis=1)
             safe_piv = jnp.where(jnp.abs(piv) > 1e-12, piv, 1.0)
@@ -748,6 +854,8 @@ def make_pallas_bb_batch(
             )
             newval = zq + sigma * theta
             xb_step = xb + eta * theta[:, None]
+            if use_dual:
+                xb_step = xb_step + flip_dx
             xb_step = jnp.where(rmask & eb(do_pivot), newval[:, None], xb_step)
             xB[...] = jnp.where(eb(do_pivot | do_flip), xb_step, xb)
 
