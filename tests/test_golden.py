@@ -79,3 +79,42 @@ def test_front_counts_table():
         p = read_problem(f"{EXAMPLES}/{name}.lp")
         front = solve_front(p, n_workers=1, backend="numpy")
         assert front.solution_count == count
+
+
+# ---- wave tier: the PRODUCTION TPU path on the reference goldens ----------
+# The wave backend is what every real TPU run takes (api.make_backend
+# 'auto'); run it through the same 5-config matrix as numpy/jax so the
+# contract backend and the tested backend are the same.  CPU interpret mode;
+# fragments both off (per-LP waves) and on (device B&B subtrees).
+
+
+def _wave_backend(name: str, frag: bool):
+    from moip_aira_tpu.solver.wave import WaveLexBackend
+
+    p = read_problem(f"{EXAMPLES}/{name}.lp")
+    return p, WaveLexBackend(p, fragments=frag, batch_width=8)
+
+
+@pytest.mark.parametrize("cfg_name,cfg", CONFIGS, ids=[c[0] for c in CONFIGS])
+@pytest.mark.parametrize("frag", [False, True], ids=["perLP", "frag"])
+@pytest.mark.parametrize("name", FAST)
+def test_golden_fast_wave(name, frag, cfg_name, cfg):
+    p, be = _wave_backend(name, frag)
+    front = solve_front(p, backend=be, **cfg)
+    expect = golden_front(name)
+    assert front.points.shape == expect.shape, (
+        f"{name}: got {front.points.shape[0]} points, want {expect.shape[0]}"
+    )
+    assert (front.points == expect).all(), f"{name}: front mismatch"
+
+
+@pytest.mark.parametrize("name", ["2AP05", "3KP10"])
+def test_golden_wave_frag_dual(name, monkeypatch):
+    """Fragment waves with the bound-flipping dual simplex enabled must
+    reproduce the reference goldens end-to-end (2 synergistic workers)."""
+    monkeypatch.setenv("MOIP_DUAL", "1")
+    p, be = _wave_backend(name, True)
+    front = solve_front(p, backend=be, n_workers=2)
+    expect = golden_front(name)
+    assert front.points.shape == expect.shape
+    assert (front.points == expect).all()
