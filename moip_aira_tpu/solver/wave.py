@@ -1634,9 +1634,37 @@ class WaveLexBackend:
         if r.status == SolveStatus.INFEASIBLE:
             return
         if r.status != SolveStatus.OPTIMAL:
-            task.failed = True
-            task.nodes.clear()
-            return
+            # the batched lockstep LP hit its iteration cap (degenerate
+            # cycling in lockstep is possible; the cap is shared by all
+            # lanes).  Rescue THIS NODE with the sequential oracle simplex
+            # (Bland anti-cycling + refactor-verified termination) before
+            # giving up: failing the whole request re-solves the entire lex
+            # stage through the host B&B — measured 10 s/request on 2AP20
+            # vs ~1 ms for the single rescue LP.
+            from moip_aira_tpu.solver.simplex_np import solve_lp
+            from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
+
+            nc = self.n + self.m
+            lo_f = np.empty(nc)
+            hi_f = np.empty(nc)
+            lo_f[: self.n] = nlo
+            lo_f[self.n :] = task.llo
+            hi_f[: self.n] = nhi
+            hi_f[self.n :] = task.lhi
+            with GLOBAL_TIMINGS.span("host.rescue_lp"):
+                r = solve_lp(
+                    self._ws, task.cvec[: self.n], lo_f, hi_f,
+                    max_iters=200000,
+                )
+            self.frag_stats["rescue_lps"] = (
+                self.frag_stats.get("rescue_lps", 0) + 1
+            )
+            if r.status == SolveStatus.INFEASIBLE:
+                return
+            if r.status != SolveStatus.OPTIMAL:
+                task.failed = True
+                task.nodes.clear()
+                return
         bound = np.ceil(r.obj - INT_TOL) if task.obj_int else r.obj
         if bound >= task.best - eps_t:
             return
@@ -1739,7 +1767,13 @@ class WaveLexBackend:
                     )
             if task.failed:
                 # exact host fallback for the whole request
-                fb = self._fallback.lex_solve(reqs[ri])
+                from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
+
+                self.frag_stats["req_fallbacks"] = (
+                    self.frag_stats.get("req_fallbacks", 0) + 1
+                )
+                with GLOBAL_TIMINGS.span("host.req_fallback"):
+                    fb = self._fallback.lex_solve(reqs[ri])
                 infeasible[ri] = fb.status.is_infeasible
                 if fb.result is not None:
                     results[ri] = np.asarray(fb.result, dtype=np.int64)

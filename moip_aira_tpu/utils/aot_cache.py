@@ -42,15 +42,30 @@ def enabled() -> bool:
 
 
 def _key_for(lowered) -> str:
+    """Stable cross-process cache key for a lowered module.
+
+    jax's own persistent-cache key (jax._src.cache_key.get) folds in the
+    backend *fingerprint*, which the axon platform rotates per session —
+    measured: the same program got a fresh key in every process, so the
+    disk cache never hit and each process re-paid the 26-600 s server
+    compile.  Key instead on what actually determines the executable:
+    the canonicalized program text, the jax/jaxlib versions, and the
+    device kind.  A stale-but-matching entry (e.g. after a platform
+    upgrade) fails deserialize_and_load and is deleted + recompiled by
+    the caller — same tolerance path as a corrupt file.
+    """
+    import hashlib
+
     import jax
-    import numpy as np
-    from jax._src import cache_key as ck
-    from jax._src import compiler
 
     module = lowered.compiler_ir("stablehlo")
-    backend = jax.devices()[0].client
-    opts = compiler.get_compile_options(num_replicas=1, num_partitions=1)
-    return ck.get(module, np.array(jax.devices()[:1]), opts, backend)
+    dev = jax.devices()[0]
+    h = hashlib.sha256()
+    h.update(str(module).encode())
+    h.update(jax.__version__.encode())
+    h.update(getattr(jax, "jaxlib", jax).__version__.encode())
+    h.update(str(getattr(dev, "device_kind", dev.platform)).encode())
+    return h.hexdigest()[:32]
 
 
 def cached_compile(jitted, example_args, tag: str):
@@ -89,9 +104,27 @@ def cached_compile(jitted, example_args, tag: str):
                 pass
     try:
         compiled = lowered.compile()
-    except Exception as e:  # pragma: no cover - fall back to lazy jit
-        logger.info("aot_cache: AOT compile failed (%s); plain jit", e)
-        return jitted
+    except Exception as e:  # pragma: no cover - platform-dependent
+        if "vmem" in str(e).lower():
+            # the chipless AOT helper enforces a 16 MiB scoped-vmem budget
+            # the execution-path compiler doesn't (measured: the per-LP
+            # kernel AOT-fails 76 KiB over, yet runs fine when jitted).
+            # Retry with head-room; the flag is proto-backed so the axon
+            # helper forwards it per-compile.
+            try:
+                compiled = lowered.compile(
+                    compiler_options={"xla_tpu_scoped_vmem_limit_kib": 24576}
+                )
+                logger.info("aot_cache: compiled with raised scoped-vmem")
+            except Exception as e2:
+                logger.info(
+                    "aot_cache: AOT compile failed (%s; vmem retry: %s); "
+                    "plain jit", e, e2,
+                )
+                return jitted
+        else:
+            logger.info("aot_cache: AOT compile failed (%s); plain jit", e)
+            return jitted
     try:
         from jax.experimental.serialize_executable import serialize
 

@@ -36,6 +36,7 @@ def main() -> int:
     from moip_aira_tpu.api import solve_front
     from moip_aira_tpu.io import read_problem
     from moip_aira_tpu.solver.wave import WaveLexBackend
+    from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
     p = read_problem(instance_path(args.name))
     be = WaveLexBackend(p)
@@ -48,17 +49,35 @@ def main() -> int:
         solve_front(p, backend=be)
         row["warmup_s"] = round(time.monotonic() - t0, 1)
         row["warm_host_recs"] = be.frag_stats.get("host_recs", 0)
+    # isolate the timed run's stats from the warm-up's
+    warm_fs = {
+        k: v for k, v in dict(be.frag_stats).items()
+        if isinstance(v, (int, float))
+    }
+    warm_why = {k: int(v) for k, v in dict(be.frag_stats.get("why", {})).items()}
+    GLOBAL_TIMINGS.totals.clear()
+    GLOBAL_TIMINGS.counts.clear()
     t0 = time.monotonic()
     res = solve_front(p, backend=be)
     row["elapsed_s"] = round(time.monotonic() - t0, 1)
     row["points"] = res.solution_count
     row["ips"] = res.ip_count
     fs = dict(be.frag_stats)
+    for k, v in fs.items():
+        if isinstance(v, (int, float)):
+            row.setdefault("stats", {})[k] = v - warm_fs.get(k, 0)
     row["host_recs"] = fs.get("host_recs", 0) - row.get("warm_host_recs", 0)
     row["waves"] = fs.get("waves", 0)
     row["ticks"] = fs.get("ticks", 0)
     row["dev_iters"] = fs.get("dev_iters", 0)
-    row["why"] = {k: int(v) for k, v in dict(fs.get("why", {})).items()}
+    row["why"] = {
+        k: int(v) - warm_why.get(k, 0)
+        for k, v in dict(fs.get("why", {})).items()
+    }
+    row["timings"] = {
+        k: round(v, 2) for k, v in sorted(GLOBAL_TIMINGS.totals.items())
+        if v >= 0.05
+    }
     g = golden_front(args.name)
     if g is not None:
         row["parity"] = bool(
