@@ -65,6 +65,7 @@ def _key_for(lowered) -> str:
     h.update(jax.__version__.encode())
     h.update(getattr(jax, "jaxlib", jax).__version__.encode())
     h.update(str(getattr(dev, "device_kind", dev.platform)).encode())
+    h.update(str(jax.device_count()).encode())
     return h.hexdigest()[:32]
 
 
@@ -95,7 +96,29 @@ def cached_compile(jitted, example_args, tag: str):
                 payload, in_tree, out_tree = pickle.load(fh)
             compiled = deserialize_and_load(payload, in_tree, out_tree)
             logger.info("aot_cache: loaded %s", os.path.basename(path))
-            return compiled
+            # a deserialized executable can still fail at CALL time (e.g.
+            # sharding/topology drift the load didn't validate) — fall back
+            # to the plain jitted fn on the first such failure, once
+            state = {"fn": compiled}
+
+            def _guarded(*args):
+                try:
+                    return state["fn"](*args)
+                except Exception as e:  # pragma: no cover - platform-dep
+                    if state["fn"] is jitted:
+                        raise
+                    logger.info(
+                        "aot_cache: cached executable failed at call time "
+                        "(%s); falling back to plain jit", e,
+                    )
+                    state["fn"] = jitted
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass
+                    return jitted(*args)
+
+            return _guarded
         except Exception as e:  # stale/corrupt entry: recompile
             logger.info("aot_cache: load failed (%s); recompiling", e)
             try:
