@@ -272,6 +272,58 @@ class LPVerifier:
             # proves the box empty — no tolerance: the interval is rigorous
             ok_i[sf] = (sup < 0.0) & s1 & solvable[sf]
 
+            # ---- single-row Farkas rescue --------------------------------
+            # The dual-simplex kernel claims infeasibility off ONE violated
+            # row (no eligible entering column for it); the combined
+            # phase-1 vector above mixes every violated row's multiplier
+            # and often fails where the single row certifies (measured:
+            # 2586 failed infeasibility audits on 2AP20 with MOIP_DUAL=1).
+            # For y = sgn * (B^-T e_r): a = y.W has a_{basic k} = sgn*d_rk,
+            # and sup over the box of a.z equals (max over nonbasics of
+            # xB_r) - lo_r (below case; mirrored above), so sup < 0 proves
+            # the box empty by the same any-y argument — one extra batched
+            # (m, m) solve for the lanes still unproven.
+            fail = np.flatnonzero(~ok_i[sf] & solvable[sf])
+            if fail.size:
+                sfF = sf[fail]
+                vio_b = np.where(
+                    below[fail],
+                    np.take_along_axis(lo_i[sfF], basis_i[sfF], axis=1)
+                    - xB[sfF],
+                    0.0,
+                )
+                vio_a = np.where(
+                    above[fail],
+                    xB[sfF]
+                    - np.take_along_axis(hi_i[sfF], basis_i[sfF], axis=1),
+                    0.0,
+                )
+                vio = np.maximum(vio_b, vio_a)
+                r_star = np.argmax(vio, axis=1)  # (f,)
+                has_vio = vio[np.arange(fail.size), r_star] > 0.0
+                sgn = np.where(
+                    np.take_along_axis(
+                        below[fail], r_star[:, None], axis=1
+                    )[:, 0],
+                    -1.0,
+                    1.0,
+                )
+                cR = np.zeros((fail.size, m))
+                cR[np.arange(fail.size), r_star] = sgn
+                yR, sR = _batch_solve(
+                    Bmats[sfF].transpose(0, 2, 1), cR
+                )
+                yR = np.where(row_free[sfF], 0.0, yR)
+                tauR = 1e-10 * (1.0 + np.abs(yR).max(axis=1, keepdims=True))
+                yR = np.where(np.abs(yR) <= tauR, 0.0, yR)
+                aR, ER = self._d_with_err(yR)
+                aR = -aR
+                supR = self._box_max(
+                    aR, ER, lo_i[sfF], hi_i[sfF],
+                    finite_lo[sfF], finite_hi[sfF],
+                )
+                ok_i[sfF] |= (supR < 0.0) & sR & has_vio
+
         ok[idx] = ok_i
         obj_i = (c[idx] * z).sum(axis=1)
         out_obj[idx] = np.where(cl_opt, obj_i, np.nan)
