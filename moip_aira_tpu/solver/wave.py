@@ -557,7 +557,11 @@ class WaveLexBackend:
                     )
             if v is not None:
                 bx = np.asarray(x_warm, dtype=np.float64).copy()
-                if self.int_idx.size:
+                # polish pays on deep trees (fragment-sized problems, where
+                # a tighter incumbent prunes device subtrees and audit
+                # records); on small per-LP-wave problems the B&B closes in
+                # ~2 LPs anyway and the polish was 27% of bench wall time
+                if self.int_idx.size and self.fragments:
                     if struct is not None:
                         # assignment family: 1-swap moves are sterile
                         # (equality rows); polish by cycle moves instead

@@ -53,15 +53,57 @@ def _key_for(lowered) -> str:
     device kind.  A stale-but-matching entry (e.g. after a platform
     upgrade) fails deserialize_and_load and is deleted + recompiled by
     the caller — same tolerance path as a corrupt file.
+
+    One more platform quirk (measured): the Mosaic kernel payload inside
+    ``tpu_custom_call``'s backend_config serializes NON-deterministically
+    across processes (byte-identical outer modules, differing payload
+    bytes), which rotated the key again.  The payload strings are
+    therefore replaced by their lengths before hashing, and what the
+    payload *encodes* is keyed instead through its generating inputs:
+    the pallas/kernel source files and the kernel-shaping MOIP_* env
+    knobs.  A missed input would load a semantically different kernel —
+    acceptable by design: every kernel claim is f64-audited on the host,
+    so a wrong executable costs performance, never exactness.
     """
     import hashlib
+    import re
 
     import jax
 
     module = lowered.compiler_ir("stablehlo")
     dev = jax.devices()[0]
     h = hashlib.sha256()
-    h.update(str(module).encode())
+    # fixed placeholder, not the payload length: the nondeterministic
+    # serialization changes the byte count too
+    text = re.sub(
+        r'backend_config = "[^"]*"',
+        "backend_config = <mosaic payload>",
+        str(module),
+    )
+    h.update(text.encode())
+    src_dir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "solver"
+    )
+    try:
+        names = sorted(
+            f for f in os.listdir(src_dir)
+            if f.startswith("pallas_") or f == "simplex_jax.py"
+        )
+        for f in names:
+            with open(os.path.join(src_dir, f), "rb") as fh:
+                h.update(fh.read())
+    except OSError:
+        pass
+    # kernel-shaping knobs with their effective defaults, so an explicitly
+    # -set default (MOIP_DUAL=0) and an unset one key identically
+    for knob, default in (
+        ("MOIP_DUAL", "0"),
+        ("MOIP_FRAG_P1_STALL", ""),
+        ("MOIP_FRAG_VMEM_MB", "44"),
+        ("MOIP_FRAG_CAP", "2048"),
+        ("MOIP_FRAG_NODE_ITERS", ""),
+    ):
+        h.update(f"{knob}={os.environ.get(knob, default)};".encode())
     h.update(jax.__version__.encode())
     h.update(getattr(jax, "jaxlib", jax).__version__.encode())
     h.update(str(getattr(dev, "device_kind", dev.platform)).encode())
@@ -86,6 +128,10 @@ def cached_compile(jitted, example_args, tag: str):
         logger.info("aot_cache: lowering/key failed (%s); plain jit", e)
         return jitted
     path = os.path.join(cache_dir(), f"{tag}-{key}.pkl")
+    if os.environ.get("MOIP_AOT_DEBUG"):  # pragma: no cover - diagnostics
+        os.makedirs(cache_dir(), exist_ok=True)
+        with open(path + ".mlir", "w") as fh:
+            fh.write(str(lowered.compiler_ir("stablehlo")))
     if os.path.exists(path):
         try:
             from jax.experimental.serialize_executable import (
