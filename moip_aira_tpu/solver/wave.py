@@ -649,6 +649,32 @@ class WaveLexBackend:
                     status[i] = sx.ITER_LIMIT
         return status, objv, xs
 
+    def _match_court(self):
+        """Lazy combinatorial court (solver/match_court.py) — or None.
+
+        Built once per backend when the problem's equality rows form a
+        square assignment structure; judged records close via exact
+        Hungarian bounds instead of exact LPs (MOIP_COURT=0 disables)."""
+        if not hasattr(self, "_match_court_cache"):
+            import os as _os
+
+            self._match_court_cache = None
+            if _os.environ.get("MOIP_COURT", "1") != "0":
+                llo, lhi = self._logical_bounds(
+                    np.asarray(self.problem.initial_rhs(), dtype=np.float64)
+                )
+                struct = self._assign_struct(
+                    np.concatenate([self.problem.lb, llo]),
+                    np.concatenate([self.problem.ub, lhi]),
+                )
+                if struct is not None:
+                    from moip_aira_tpu.solver.match_court import MatchCourt
+
+                    court = MatchCourt(struct, self._A_full)
+                    if court.square:
+                        self._match_court_cache = court
+        return self._match_court_cache
+
     def _host_exact_lp(self, c_struct, lo, hi, warm_basis, warm_at_upper):
         """One exact f64 LP on the host, warm-started from a device basis."""
         if self._ws is None:
@@ -1587,6 +1613,7 @@ class WaveLexBackend:
         m = self.m
         # chunked so the (J, m, m) basis-inverse state stays memory-bounded
         CHUNK_J = 1024
+        court = self._match_court()
         live: List = []
         for jb in queue:
             task = jb[0]
@@ -1596,10 +1623,25 @@ class WaveLexBackend:
             eps_t = INT_TOL if task.obj_int else 1e-9
             if np.isfinite(jb[5]) and jb[5] >= task.best - eps_t:
                 continue  # pruned by an incumbent that arrived after queuing
+            if court is not None:
+                # exact combinatorial judgement first (solver/match_court.py):
+                # a ~50 us Hungarian solve closes most assignment-family
+                # records the f32 kernel abandoned, instead of a ~30 ms LP
+                verdict = court.judge(task, jb[1], jb[2], INT_TOL)
+                if verdict is not None:
+                    kind = verdict[0]
+                    if kind == "solved":
+                        _v, _x = verdict[1], verdict[2]
+                        if _v < task.best - eps_t:
+                            task.best = _v
+                            task.best_x = _x.copy()
+                    continue
             live.append(jb)
         self.frag_stats["host_pruned"] = (
             self.frag_stats.get("host_pruned", 0) + len(queue) - len(live)
         )
+        if court is not None:
+            self.frag_stats["court"] = dict(court.stats)
         for j0 in range(0, len(live), CHUNK_J):
             chunk = [
                 jb for jb in live[j0 : j0 + CHUNK_J] if not jb[0].failed
