@@ -74,6 +74,8 @@ def main() -> int:
         k: int(v) - warm_why.get(k, 0)
         for k, v in dict(fs.get("why", {})).items()
     }
+    if "court" in fs:
+        row["court"] = {k: int(v) for k, v in fs["court"].items()}
     row["timings"] = {
         k: round(v, 2) for k, v in sorted(GLOBAL_TIMINGS.totals.items())
         if v >= 0.05
