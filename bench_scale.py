@@ -39,6 +39,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 MD = os.path.join(REPO, "BENCH_SCALE.md")
 GEN_DIR = os.path.join(REPO, ".bench_scale")
 
+#: stamped into every row so stale rows are self-identifying (VERDICT r4 #7)
+MEASURED_ROUND = 5
+
 #: reference serial (t1-c1) elapsed seconds, 1701.08920/Timing.ods via
 #: BASELINE.md §B — the comparison column of the output table
 REF_T1 = {
@@ -138,7 +141,10 @@ def run_one(
     from moip_aira_tpu.io import read_problem
 
     p = read_problem(instance_path(name))
-    row: dict = {"name": name, "n": p.n, "backend": backend}
+    row: dict = {
+        "name": name, "n": p.n, "backend": backend,
+        "measured_round": MEASURED_ROUND,
+    }
     if split:
         row["backend"] = f"{backend}+split{workers}"
     signal.signal(signal.SIGALRM, _alarm)
@@ -204,15 +210,21 @@ def render(rows: dict) -> str:
         "reference instances + goldens from /root/reference/Examples, and",
         "their reference column is the .out footer max(CPU s, elapsed s).",
         "",
-        "| instance | n vars | backend | elapsed s | ref t1-c1 s | speedup | points | parity |",
-        "|---|---|---|---|---|---|---|---|",
+        "`+dp` rows were carried by the structure-aware DP (no MIP ladder",
+        "ran, so `ips` is honestly 0 there); court-closed host records are",
+        "counted in host_pruned/court stats, not in LP counters, so LP",
+        "counts across MOIP_COURT arms are not like-for-like.  `round` =",
+        "the build round the row was measured in (stale rows self-identify).",
+        "",
+        "| instance | n vars | backend | elapsed s | ref t1-c1 s | speedup | points | parity | round |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name in sorted(rows, key=lambda s: (s[:2], len(s), s)):
         r = rows[name]
         ref = REF_T1.get(name)
         el = r.get("elapsed_s")
         out.append(
-            "| {} | {} | {} | {} | {} | {} | {} | {} |".format(
+            "| {} | {} | {} | {} | {} | {} | {} | {} | {} |".format(
                 name,
                 r.get("n", "?"),
                 r.get("backend", "?"),
@@ -221,6 +233,7 @@ def render(rows: dict) -> str:
                 r.get("vs_ref_t1", "—"),
                 r.get("points", "—"),
                 r.get("parity", "—"),
+                r.get("measured_round", "≤4"),
             )
         )
     out.append("")

@@ -54,8 +54,17 @@ class MatchCourt:
         self.NB = struct.sideB.size
         self.square = self.NA == self.NB
         self.n = struct.colA.shape[0]
+        # BIG-sentinel soundness guard (advisor, round 4): min_cost treats
+        # any selected cell >= BIG/2 as forbidden, which is only sound when
+        # no REAL matching sum can reach that range.  Disable the court
+        # outright unless max|data| * N stays far below the sentinel; judge
+        # re-checks each task's cost vector the same way.
+        data_max = float(np.abs(self.A_full).max()) if self.A_full.size else 0.0
+        self.usable = (
+            self.square and data_max * max(self.NA, 1) < BIG / 4
+        )
         self.stats = {"judged": 0, "infeasible": 0, "pruned": 0,
-                      "solved": 0, "open": 0}
+                      "solved": 0, "open": 0, "unsafe_cost": 0}
 
     # -- core exact primitive ------------------------------------------------
     def min_cost(
@@ -67,8 +76,12 @@ class MatchCourt:
         the n structural variables), or (None, None) when the node admits NO
         perfect matching — which proves the node LP infeasible.
         """
-        if not self.square:
-            return None, None  # non-square: court not applicable
+        if not self.usable:
+            # (None, None) means "proved empty" to callers — an unusable
+            # court must never reach here; judge() gates on .usable
+            raise ValueError("MatchCourt is not usable for this structure")
+        if float(np.abs(cost[: self.n]).max(initial=0.0)) * self.NA >= BIG / 4:
+            raise ValueError("cost magnitude would collide with the BIG sentinel")
         s = self.struct
         M = np.full((self.NA, self.NB), BIG)
         allowed = nhi[: self.n] > 0.5
@@ -108,6 +121,16 @@ class MatchCourt:
         ``task`` provides cvec (sign-folded MIN objective), llo/lhi
         (logical row bounds), best (incumbent value), obj_int.
         """
+        if not self.usable:
+            return None
+        if (
+            float(np.abs(task.cvec[: self.n]).max(initial=0.0)) * self.NA
+            >= BIG / 4
+        ):
+            # a caller-supplied cost this large would collide with the
+            # forbidden-cell sentinel: refuse to judge, run the exact LP
+            self.stats["unsafe_cost"] += 1
+            return None
         self.stats["judged"] += 1
         eps = int_tol if task.obj_int else 1e-9
         val, x = self.min_cost(task.cvec, nlo, nhi)

@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from moip_aira_tpu.solver import simplex_jax as sx
+from moip_aira_tpu.utils import knobs
 
 BIG = 1e30
 STALL_LIMIT = 60
@@ -137,7 +138,7 @@ def make_pallas_bb_batch(
     # wasted device ticks per stalled node and frees the lane for the rest
     # of its fragment; the record lands on the same host path either way.
     # MOIP_FRAG_P1_STALL=0 disables (burn the full node budget as before).
-    p1_stall = int(os.environ.get("MOIP_FRAG_P1_STALL", str(stall_exit)))
+    p1_stall = int(knobs.get("MOIP_FRAG_P1_STALL", str(stall_exit)))
     #: dual-simplex reoptimisation of warm nodes — implemented, MEASURED,
     #: and default OFF: on 2AP20 it ran 134.2 s vs 39.9 s (host records
     #: 3015 vs 540; iterlim 1503 vs 279, false INFEASIBLE claims 926 vs
@@ -149,7 +150,7 @@ def make_pallas_bb_batch(
     #: MOIP_DUAL=1 opts in to the simple version for experiments.  With
     #: the flag off the traced kernel is identical to the composite
     #: -primal one (no dual ops are emitted).
-    use_dual = os.environ.get("MOIP_DUAL", "0") == "1"
+    use_dual = knobs.get("MOIP_DUAL") == "1"
     m_p = _round_up(m, 8)
     nc_p = _round_up(n + m_p, 128)
     PW = _round_up(-(-nc_p // 16), 128)  # packed at-upper words
@@ -175,7 +176,7 @@ def make_pallas_bb_batch(
     # of VMEM per core (vmem_limit below already asks for 100 MB); the
     # budget only needs to leave room for the in/out blocks (~10-15 MB at
     # reference shapes).  MOIP_FRAG_VMEM_MB overrides for experiments.
-    vmem_budget = int(os.environ.get("MOIP_FRAG_VMEM_MB", "44")) * 2**20
+    vmem_budget = int(knobs.get("MOIP_FRAG_VMEM_MB")) * 2**20
     CHUNK = 256
     while CHUNK > 8 and bytes_shared + CHUNK * per_lane > vmem_budget:
         CHUNK //= 2
@@ -1294,7 +1295,7 @@ def make_pallas_bb_batch(
     #: at-upper words that carry real columns (the rest is lane padding)
     PW_USE = -(-nc_p // 16)
     #: compacted-record row budget per wave (see _run_w); MOIP_FRAG_CAP
-    CAP = int(os.environ.get("MOIP_FRAG_CAP", "2048"))
+    CAP = int(knobs.get("MOIP_FRAG_CAP"))
 
     @jax.jit
     def _run_w(Wp_arg, im_arg, pk_arg, c, lo, hi, par, wb, wa):

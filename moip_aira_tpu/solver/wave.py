@@ -42,6 +42,7 @@ from moip_aira_tpu.solver import simplex_jax as sx
 from moip_aira_tpu.solver.lex import LexOutcome, LexRequest, NumpyLexBackend
 from moip_aira_tpu.solver.lex_jax import _enable_persistent_cache
 from moip_aira_tpu.solver.status import SolveStatus
+from moip_aira_tpu.utils import knobs
 
 INT_TOL = 1e-6
 
@@ -435,7 +436,7 @@ class WaveLexBackend:
         # warm-started in ~2 ms).  Bail early; the audit re-opens the node
         # to the host path.  MOIP_FRAG_NODE_ITERS overrides.
         node_iters = int(
-            _os.environ.get("MOIP_FRAG_NODE_ITERS", str(max(200, 6 * self.m)))
+            knobs.get("MOIP_FRAG_NODE_ITERS", str(max(200, 6 * self.m)))
         )
         W_sc = np.asarray(W_np, dtype=np.float64).copy()
         W_sc[:, : self.n] *= self._row_scale[:, None]  # [diag(s)A | -I]
@@ -671,7 +672,7 @@ class WaveLexBackend:
                     from moip_aira_tpu.solver.match_court import MatchCourt
 
                     court = MatchCourt(struct, self._A_full)
-                    if court.square:
+                    if court.usable:
                         self._match_court_cache = court
         return self._match_court_cache
 
@@ -1637,6 +1638,11 @@ class WaveLexBackend:
                             task.best_x = _x.copy()
                     continue
             live.append(jb)
+        # accounting note (advisor, round 4): court-closed records fold into
+        # host_pruned (together with incumbent prunes) and are itemised in
+        # frag_stats["court"]; they run NO host LP, so LP counters across a
+        # MOIP_COURT=0 vs =1 A/B are not like-for-like — compare wall time
+        # and frag_stats["court"], not host-LP counts
         self.frag_stats["host_pruned"] = (
             self.frag_stats.get("host_pruned", 0) + len(queue) - len(live)
         )

@@ -9,10 +9,18 @@ jax's own persistent compilation cache only caches the client-side XLA step
 The platform advertises ``SerializedExecutable`` support, which
 ``jax.experimental.serialize_executable`` rides: a fully-compiled executable
 (including the device binary) round-trips through bytes.  This module caches
-those bytes on disk keyed by jax's own persistent-cache key of the lowered
-module — the key covers the canonicalized program, jaxlib version, backend
-fingerprint, XLA flags and compile options, so a stale entry is impossible
-without a key change (jax._src.cache_key.get).
+those bytes on disk keyed by a DELIBERATELY CLIENT-STABLE key (`_key_for`):
+the stablehlo program text (with the nondeterministically-serialized Mosaic
+payloads scrubbed), the pallas/kernel source files + kernel-shaping env
+knobs (utils/knobs.KERNEL_KNOBS) that generate those payloads, the
+jax/jaxlib versions, and the device kind/count.  jax's own persistent-cache
+key is NOT used: it folds in a backend fingerprint the axon platform
+rotates per session, so it never hits across processes.  The trade-off is
+explicit: a stale-but-key-matching entry is possible (e.g. a platform
+upgrade the key does not see) and is tolerated — it either fails
+deserialize/call (deleted + recompiled below) or runs as a semantically
+different kernel, which costs performance only, never exactness, because
+every device claim is f64-audited on the host.
 
 Failure tolerance: every step degrades to the plain jit path — a cache
 entry that fails to deserialize is deleted and recompiled; serialization
@@ -75,11 +83,21 @@ def _key_for(lowered) -> str:
     h = hashlib.sha256()
     # fixed placeholder, not the payload length: the nondeterministic
     # serialization changes the byte count too
-    text = re.sub(
+    raw = str(module)
+    text, n_scrubbed = re.subn(
         r'backend_config = "[^"]*"',
         "backend_config = <mosaic payload>",
-        str(module),
+        raw,
     )
+    if n_scrubbed == 0 and "tpu_custom_call" in raw:
+        # silent-drift guard (advisor, round 4): a jax upgrade that prints
+        # backend_config differently would revert to per-process key
+        # rotation — the cache would never hit again, unnoticed
+        logger.warning(
+            "aot_cache: Mosaic payload scrub matched nothing on a module "
+            "containing tpu_custom_call — the backend_config print format "
+            "may have changed; cache keys will rotate per process"
+        )
     h.update(text.encode())
     src_dir = os.path.join(
         os.path.dirname(os.path.dirname(__file__)), "solver"
@@ -95,15 +113,15 @@ def _key_for(lowered) -> str:
     except OSError:
         pass
     # kernel-shaping knobs with their effective defaults, so an explicitly
-    # -set default (MOIP_DUAL=0) and an unset one key identically
-    for knob, default in (
-        ("MOIP_DUAL", "0"),
-        ("MOIP_FRAG_P1_STALL", ""),
-        ("MOIP_FRAG_VMEM_MB", "44"),
-        ("MOIP_FRAG_CAP", "2048"),
-        ("MOIP_FRAG_NODE_ITERS", ""),
-    ):
-        h.update(f"{knob}={os.environ.get(knob, default)};".encode())
+    # -set default (MOIP_DUAL=0) and an unset one key identically; the list
+    # is the shared registry every kernel-shaping read goes through
+    # (utils/knobs.py), so a new knob cannot silently miss the key
+    from moip_aira_tpu.utils.knobs import KERNEL_KNOBS
+
+    for knob in sorted(KERNEL_KNOBS):
+        h.update(
+            f"{knob}={os.environ.get(knob, KERNEL_KNOBS[knob])};".encode()
+        )
     h.update(jax.__version__.encode())
     h.update(getattr(jax, "jaxlib", jax).__version__.encode())
     h.update(str(getattr(dev, "device_kind", dev.platform)).encode())
