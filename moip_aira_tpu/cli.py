@@ -50,8 +50,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     default=1,
                     help="Accepted for aira compatibility; the native backend "
                          "batches branch-and-bound nodes instead.")
-    ap.add_argument("--backend", choices=("auto", "jax", "wave", "numpy"),
-                    default="auto", help="Solve kernel backend.")
+    ap.add_argument("--backend",
+                    choices=("auto", "jax", "wave", "numpy", "kpbb"),
+                    default="auto",
+                    help="Solve kernel backend (kpbb = combinatorial "
+                    "knapsack engine; auto routes the knapsack family "
+                    "there).")
     ap.add_argument("--mesh", dest="mesh", type=int, default=None,
                     help="Shard solve batches over an N-device mesh "
                          "(wave backend).")
