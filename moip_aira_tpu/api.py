@@ -33,6 +33,10 @@ class FrontResult:
     elapsed_seconds: float
     rounds: int = 0
     batch_sizes: Optional[List[int]] = None
+    #: mesh runs only: per-domain IP counts + shared pre-work IPs — on real
+    #: multi-chip hardware wall time tracks pre_ips + max(domain_ips)
+    domain_ips: Optional[List[int]] = None
+    pre_ips: int = 0
 
     @property
     def solution_count(self) -> int:
@@ -216,9 +220,15 @@ def solve_front(
         from moip_aira_tpu.engine.mesh_scheduler import MeshScheduler
         from moip_aira_tpu.parallel.mesh import make_mesh
 
-        n_workers = min(n_workers, max_workers(k))
+        mesh_mode = os.environ.get("MOIP_MESH_MODE", "strip")
+        if mesh_mode == "sync":
+            # synergistic workers cap at the ordering-subgroup count;
+            # EPP strips (the default) have no such ceiling
+            n_workers = min(n_workers, max_workers(k))
         msched = MeshScheduler(
-            problem, be, getattr(be, "mesh", None) or make_mesh(mesh_devices)
+            problem, be,
+            getattr(be, "mesh", None) or make_mesh(mesh_devices),
+            mode=mesh_mode,
         )
         msched.run(n_workers, spread, all_store)
         points = all_store.sorted_unique_points()
@@ -229,6 +239,8 @@ def solve_front(
             elapsed_seconds=time.monotonic() - t_wall0,
             rounds=msched.rounds,
             batch_sizes=msched.batch_sizes,
+            domain_ips=list(msched.domain_ips),
+            pre_ips=msched.pre_ips,
         )
 
     if split:

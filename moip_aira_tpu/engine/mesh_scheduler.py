@@ -120,16 +120,28 @@ class MeshScheduler:
         mesh,
         exchange: bool = True,
         slots: int = 32,
+        mode: str = "strip",
     ):
+        #: ``mode``: "strip" (default) distributes EPP strips — domains own
+        #: DISJOINT objective ranges, so total IPs stay ~flat as the mesh
+        #: grows; "sync" distributes synergistic workers with severed cells
+        #: (round-4 measurement: severing multiplies IPs 2.2x at mesh=8 —
+        #: kept for A/B and for workloads needing permutation diversity).
         self.problem = problem
         self.backend = backend
         self.mesh = mesh
         self.exchange = exchange
         self.slots = slots
+        self.mode = mode
         self.ip_count = 0
         self.rounds = 0
         self.batch_sizes: List[int] = []
         self.exchanged_boxes = 0
+        #: per-domain IP counts — on real multi-chip hardware each domain's
+        #: round batch runs on its own device, so wall time tracks
+        #: pre_ips + max(domain_ips) (the critical path), not the total
+        self.domain_ips: List[int] = []
+        self.pre_ips = 0
         #: boxes that exceeded the per-round slot budget and were DEFERRED
         #: to the next round (cumulative; round-2's silent truncation —
         #: `new_boxes[d][:S]` dropped the tail outright — is fixed by the
@@ -207,8 +219,21 @@ class MeshScheduler:
         all_store: Solutions,
         infeasibles_unused: Optional[Solutions] = None,
     ) -> Solutions:
-        """Distribute ``n_workers`` synergistic workers over the mesh and
-        enumerate to completion; fronts merge into ``all_store``."""
+        """Distribute ``n_workers`` workers over the mesh and enumerate to
+        completion; fronts merge into ``all_store``.  Dispatches on
+        ``self.mode`` (strip = EPP range distribution, sync = synergistic
+        workers with severed cells)."""
+        if self.mode == "strip":
+            return self.run_strips(n_workers, all_store)
+        return self.run_sync(n_workers, spread, all_store)
+
+    def run_sync(
+        self,
+        n_workers: int,
+        spread: bool,
+        all_store: Solutions,
+    ) -> Solutions:
+        """Synergistic-worker distribution (the round-2..4 design)."""
         p = self.problem
         k = p.objcnt
         D = self.mesh.size
@@ -216,6 +241,7 @@ class MeshScheduler:
 
         specs = build_cluster(n_workers, k, p.objsen, spread)
         groups = partition_specs(specs, min(D, len(specs)))
+        self.domain_ips = [0] * len(groups)
         self.severed = sever_cross_domain_cells(groups)
         # round 1 must carry every worker's first solve through the
         # pmin/pmax leg for the ideal point to be exact (the BOX quota
@@ -255,6 +281,7 @@ class MeshScheduler:
             for item, out in zip(live, outcomes):
                 d, spec, g, _ = item
                 self.ip_count += out.ip_solves
+                self.domain_ips[d] += out.ip_solves
                 if out.result is not None:
                     round_vals[d].append(np.asarray(out.result, dtype=np.float64))
                 reply = (out.status.is_infeasible, out.result)
@@ -312,4 +339,157 @@ class MeshScheduler:
                         None if s._infeasible[i] else s._results[i],
                         bool(s._infeasible[i]),
                     )
+        return all_store
+
+    def run_strips(
+        self,
+        n_workers: int,
+        all_store: Solutions,
+        split_normal: bool = False,
+    ) -> Solutions:
+        """EPP-strip distribution (round-5 design; VERDICT r4 #4).
+
+        Domains own DISJOINT contiguous ranges of the last objective
+        (the reference's own `--split` decomposition, aira.cpp:1886-1990,
+        mapped onto device domains), so no domain re-enumerates another's
+        region and total IPs stay ~flat as the mesh grows — where the
+        severed-cell sync mode multiplied IPs 2.2x at mesh=8 (BENCH_MESH
+        round 4).  The collective still propagates (a) each round's new
+        infeasible boxes — a strip's bound is part of the rhs box vector,
+        so an infeasible box is a GLOBALLY valid fact any domain's
+        relaxation lookup can hit — and (b) the round-1 ideal point.
+        """
+        from moip_aira_tpu.engine.scheduler import Scheduler
+        from moip_aira_tpu.parallel.split import (
+            build_strip_specs,
+            get_limit,
+            split_setup,
+        )
+
+        p = self.problem
+        k = p.objcnt
+        D = self.mesh.size
+        is_min = p.objsen is Sense.MIN
+
+        # range measurement: the reference's recursive lower-level
+        # enumeration (shared pre-work; a real deployment runs it once and
+        # broadcasts — here it runs undistributed on the same backend)
+        pre = Scheduler(p, self.backend)
+        pre_inf = Solutions(k)
+        sols = (
+            split_setup(pre, k - 1, n_workers, split_normal, pre_inf)
+            if k > 1
+            else []
+        )
+        _status, res = get_limit(pre, k - 1)
+        self.ip_count += pre.ip_count
+        self.pre_ips = pre.ip_count
+        self.rounds += pre.rounds
+        if res is None:
+            return all_store
+        if is_min:
+            smallest = float(res[k - 1])
+            biggest = max((float(s[k - 1]) for s in sols), default=-INF)
+            if biggest == smallest:
+                biggest = INF
+        else:
+            biggest = float(res[k - 1])
+            smallest = min((float(s[k - 1]) for s in sols), default=INF)
+            if biggest == smallest:
+                smallest = -INF
+
+        specs = build_strip_specs(
+            p, k, biggest, smallest, n_workers, split_normal
+        )
+        groups = partition_specs(specs, min(D, len(specs)))
+        self.domain_ips = [0] * len(groups)
+        self._ex_slots = max(self.slots, max(len(g) for g in groups))
+
+        dom_store = [Solutions(k) for _ in groups]
+        dom_inf = [Solutions(k) for _ in groups]
+        # pre-work infeasible boxes are global facts: seed every domain
+        for d in range(len(groups)):
+            for i in range(len(pre_inf)):
+                dom_inf[d].insert(pre_inf._ips[i], None, True)
+
+        live: List[list] = []
+        for d, group in enumerate(groups):
+            for spec in group:
+                # split workers insert straight into the domain store
+                # (worker.py: s = all_store when split)
+                g = aira_worker(p, spec, dom_store[d], dom_inf[d])
+                try:
+                    rhs = next(g)
+                    live.append([d, spec, g, rhs])
+                except StopIteration:
+                    pass
+
+        inf_sizes = [len(s) for s in dom_inf]
+        ideal_done = False
+        while live:
+            self.rounds += 1
+            reqs = [
+                LexRequest(rhs=item[3], perm=item[1].perm) for item in live
+            ]
+            self.batch_sizes.append(len(reqs))
+            outcomes = self.backend.lex_solve_batch(reqs)
+
+            round_vals: List[List[np.ndarray]] = [[] for _ in groups]
+            nxt = []
+            for item, out in zip(live, outcomes):
+                d, spec, g, _ = item
+                self.ip_count += out.ip_solves
+                self.domain_ips[d] += out.ip_solves
+                if out.result is not None:
+                    round_vals[d].append(
+                        np.asarray(out.result, dtype=np.float64)
+                    )
+                reply = (out.status.is_infeasible, out.result)
+                try:
+                    rhs = g.send(reply)
+                    nxt.append([d, spec, g, rhs])
+                except StopIteration:
+                    pass
+            live = nxt
+
+            if self.exchange and len(groups) > 1:
+                new_boxes = []
+                for d, s in enumerate(dom_inf):
+                    lo_i = inf_sizes[d]
+                    fresh = np.array(
+                        s._ips[lo_i : len(s)], dtype=np.float64
+                    ).reshape(-1, k)
+                    new_boxes.append(self._drain_pending(d, fresh))
+                vals_in = [
+                    np.array(v, dtype=np.float64).reshape(-1, k)
+                    for v in round_vals
+                ]
+                boxes, flags, (lo, hi) = self._exchange_round(
+                    new_boxes, vals_in
+                )
+                for row in np.flatnonzero(flags == 1):
+                    src_dom = int(row) // self._ex_slots
+                    for d in range(len(groups)):
+                        if d == src_dom:
+                            continue
+                        self.exchanged_boxes += 1
+                        dom_inf[d].insert(boxes[row], None, True)
+                if not ideal_done and self.rounds >= 1:
+                    # identity perms: round 1 pins objective 0's ideal
+                    ideal_done = True
+                    ideal = lo if is_min else hi
+                    if abs(ideal[0]) < _BIGVAL / 2:
+                        box = np.full(k, INF if is_min else -INF)
+                        box[0] = ideal[0] - 1 if is_min else ideal[0] + 1
+                        for d in range(len(groups)):
+                            dom_inf[d].insert(box, None, True)
+                inf_sizes = [len(s) for s in dom_inf]
+
+        # reference parity with the single-host split path
+        # (api.solve_front split branch): strip results enter the global
+        # store with a dead ip vector that never answers relaxations
+        dead_ip = np.full(k, -INF if is_min else INF)
+        for s in dom_store:
+            for row in s.feasible_points():
+                all_store.insert(dead_ip, row, False)
         return all_store

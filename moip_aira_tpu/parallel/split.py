@@ -65,19 +65,18 @@ def get_limit(scheduler: Scheduler, obj: int) -> tuple:
     return out.status, out.result
 
 
-def split_optimise(
-    scheduler: Scheduler,
+def build_strip_specs(
+    problem,
     nobj: int,
     hi: float,
     lo: float,
     n_workers: int,
     split_normal: bool,
-    infeasibles: Solutions,
-) -> List[np.ndarray]:
-    """Partition [lo, hi] of objective nobj-1 into strips and enumerate each
-    (reference aira.cpp:1886-1943)."""
-    p = scheduler.problem
-    sense = p.objsen
+) -> List[WorkerSpec]:
+    """One EPP strip spec per worker over [lo, hi] of objective nobj-1
+    (reference aira.cpp:1886-1920); shared by the single-host split path
+    and the mesh strip distribution (engine/mesh_scheduler.py)."""
+    sense = problem.objsen
     if sense is Sense.MIN:
         start_point, stop_point = float(hi), float(lo)
     else:
@@ -95,13 +94,33 @@ def split_optimise(
                 gap = stop_point - start_point
                 start = row[t] * gap + start_point
                 stop = row[t + 1] * gap + start_point
-            specs.append(WorkerSpec.for_split(t, nobj, p.objcnt, start, stop))
+            specs.append(
+                WorkerSpec.for_split(t, nobj, problem.objcnt, start, stop)
+            )
     else:
         step = (stop_point - start_point) / n_workers
         s0 = start_point
         for t in range(n_workers):
-            specs.append(WorkerSpec.for_split(t, nobj, p.objcnt, s0, s0 + step))
+            specs.append(
+                WorkerSpec.for_split(t, nobj, problem.objcnt, s0, s0 + step)
+            )
             s0 += step
+    return specs
+
+
+def split_optimise(
+    scheduler: Scheduler,
+    nobj: int,
+    hi: float,
+    lo: float,
+    n_workers: int,
+    split_normal: bool,
+    infeasibles: Solutions,
+) -> List[np.ndarray]:
+    """Partition [lo, hi] of objective nobj-1 into strips and enumerate each
+    (reference aira.cpp:1886-1943)."""
+    p = scheduler.problem
+    specs = build_strip_specs(p, nobj, hi, lo, n_workers, split_normal)
 
     from moip_aira_tpu.native import make_solutions
 

@@ -353,7 +353,10 @@ class KPIPSolver:
                 ws = ws + mi * wrow
                 cap += mi * int(bi)
             lam = np.zeros(len(cov_d), dtype=np.float64)
-            for _ in range(9):
+            # near-equality covers (the ladder's far-end boxes) need LARGE
+            # multipliers before the greedy set honours them: let the
+            # doubling search reach lambda ~512
+            for _ in range(13):
                 q = v + (lam @ cov_V if lam.size else 0)
                 ub = _greedy_ub(q, ws, cap) - float(
                     lam @ cov_d if lam.size else 0.0
@@ -502,7 +505,19 @@ class KPIPSolver:
 
     # -- exact-DP pegging (Dembo-Hammer reduction) -------------------------
     def _peg(self, tab: _Tables, all_d, lam_d: int, best_v: int):
-        """Fix every item whose forced in/out bound cannot beat best_v.
+        """Fix every item the exact prefix+suffix DPs prove decided.
+
+        Two independent tests per item i:
+          * OPTIMALITY: forcing i out (resp. in) bounds the whole problem
+            by max_c P[i][c] + F[i+1][C-c] (+ q_i); below the incumbent
+            target means no IMPROVING solution disagrees — fix it.
+          * COVER FEASIBILITY: the max attainable cover-l activity WITHOUT
+            item i (prefix+suffix cover DPs under the surrogate capacity)
+            falling short of d_l means every FEASIBLE solution takes i.
+        The second test is what bites on the epsilon-ladder's far-end
+        boxes (cover d near the objective's max), where the Lagrangian
+        bound is weakest — measured KP2D200: 14.8M-node IPs with 0 items
+        pegged by the optimality test alone.
 
         Returns (reduced _Tables, (fixed1_original_cols, base_v, d_red))
         or (None, None) when the reduction leaves >85% of items free.
@@ -513,6 +528,8 @@ class KPIPSolver:
         Cs = tab.Cs
         F = tab.F
         P = _prefix_dp(tab.q, tab.ws, Cs)
+        ncov = tab.V.shape[0]
+        PG = [_prefix_dp(tab.V[l], tab.ws, Cs) for l in range(ncov)]
         target = LAM_DEN * best_v + lam_d  # beat this in q-units
         fix0 = np.zeros(n, dtype=bool)
         fix1 = np.zeros(n, dtype=bool)
@@ -524,6 +541,13 @@ class KPIPSolver:
             ub0 = int(np.max(Pi + Fi[::-1]))
             if ub0 <= target:
                 fix1[i] = True
+                continue
+            for l in range(ncov):
+                cov_wo = int(np.max(PG[l][i] + tab.G[l][i + 1][::-1]))
+                if cov_wo < int(all_d[l]):
+                    fix1[i] = True
+                    break
+            if fix1[i]:
                 continue
             # forced IN: item i consumes w of the surrogate capacity
             rc = Cs - w

@@ -1,18 +1,41 @@
-"""Generate a bundled golden front with the exact f64 numpy oracle.
+"""Generate a bundled golden front, with independent oracle spot-checks.
 
 Offline tool (CPU-pinned; safe to run alongside a TPU process).  Generates
 the named instance with the same seed policy as bench_scale.py (seed=1),
-bundles it under examples/, solves it with the ``numpy`` oracle backend —
-the repo's exact-f64 ground truth (CLAUDE.md invariants) — and writes the
-golden ``examples/<name>.out`` through the byte-compatible writer.
+bundles it under examples/, solves it with the chosen engine, and writes
+the golden ``examples/<name>.out`` through the byte-compatible writer.
+
+Engines:
+  numpy — the exact-f64 host oracle (CLAUDE.md ground truth); slowest,
+          needs no further verification, but ~8,000 s at KP2D100 scale
+          and unusable beyond it (measured round 4).
+  kpbb  — the combinatorial knapsack engine (solver/kp_bb.py): exact
+          int64 arithmetic end to end, ~1000x the oracle's speed on the
+          KP2D family.
+  wave  — the TPU production path (every emitted point f64-certified per
+          the exactness invariant).
+  auto  — whatever api.solve_front routes to.
+
+``--verify-sample K`` (bi-objective instances) independently re-derives a
+random K-point sample of the generated front — plus both lex extremes —
+with the NUMPY ORACLE, three checks per sampled point i (front sorted
+descending obj0; b ascending):
+  * own-box lex(0,1) at rhs[1]=b_i must return exactly point i,
+  * own-box lex(1,0) at rhs[0]=a_i must return exactly point i,
+  * the ADJACENT GAP: lex(0,1) at rhs[1]=b_i -/+ 1 (MIN/MAX) must return
+    exactly the neighbouring point (or INFEASIBLE at the extreme), which
+    proves no nondominated point is missing between the two.
+The record lands in examples/<name>.verify.json next to the golden, so a
+fast-engine golden is never silently trusted (VERDICT round-4 #3).
 
 Usage:
-    python tools/make_golden.py KP2D100 [--workers 1] [--no-bundle-lp]
+    python tools/make_golden.py KP2D200 --engine kpbb --verify-sample 8
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -23,14 +46,90 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 
 # JAX_PLATFORMS env is ignored under the axon plugin; pin via config before
-# any other jax use so this process never touches the TPU tunnel.
-jax.config.update("jax_platforms", "cpu")
+# any other jax use so this process never touches the TPU tunnel, UNLESS
+# the caller explicitly wants the TPU wave engine.
+if "--engine" not in " ".join(sys.argv) or "wave" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def verify_sample(p, points, k_sample: int, seed: int = 0) -> dict:
+    """Oracle spot-check of a bi-objective front; returns the record."""
+    import numpy as np
+
+    from moip_aira_tpu.sense import Sense
+    from moip_aira_tpu.solver.lex import LexRequest, NumpyLexBackend
+    from moip_aira_tpu.solver.status import SolveStatus
+
+    assert p.objcnt == 2, "sampled verification is bi-objective only"
+    be = NumpyLexBackend(p)
+    f = points.shape[0]
+    rng = np.random.default_rng(seed)
+    idx = sorted(
+        {0, f - 1}
+        | set(int(i) for i in rng.choice(f, size=min(k_sample, f), replace=False))
+    )
+    sign = -1 if p.objsen is Sense.MIN else 1  # gap step direction on b
+    checks = []
+    t0 = time.monotonic()
+    for i in idx:
+        a_i, b_i = int(points[i][0]), int(points[i][1])
+        rec = {"i": i, "point": [a_i, b_i]}
+        rhs = p.initial_rhs()
+        rhs[1] = float(b_i)
+        out = be.lex_solve(LexRequest(rhs=rhs, perm=[0, 1]))
+        rec["own_box_01"] = bool(
+            out.status == SolveStatus.OPTIMAL
+            and out.result is not None
+            and out.result[0] == a_i and out.result[1] == b_i
+        )
+        rhs = p.initial_rhs()
+        rhs[0] = float(a_i)
+        out = be.lex_solve(LexRequest(rhs=rhs, perm=[1, 0]))
+        rec["own_box_10"] = bool(
+            out.status == SolveStatus.OPTIMAL
+            and out.result is not None
+            and out.result[0] == a_i and out.result[1] == b_i
+        )
+        # adjacency gap: one step past b_i must land exactly on the
+        # neighbour (or prove the box empty at the extreme)
+        rhs = p.initial_rhs()
+        rhs[1] = float(b_i + sign)
+        out = be.lex_solve(LexRequest(rhs=rhs, perm=[0, 1]))
+        j = i - 1 if p.objsen is Sense.MIN else i + 1
+        if 0 <= j < f:
+            rec["gap_to_neighbour"] = bool(
+                out.status == SolveStatus.OPTIMAL
+                and out.result is not None
+                and out.result[0] == int(points[j][0])
+                and out.result[1] == int(points[j][1])
+            )
+        else:
+            rec["gap_to_neighbour"] = bool(out.status.is_infeasible)
+        checks.append(rec)
+        ok = all(v for k, v in rec.items() if isinstance(v, bool))
+        print(f"[verify] point {i} {[a_i, b_i]}: "
+              f"{'OK' if ok else 'FAILED ' + str(rec)}", flush=True)
+    all_ok = all(
+        v for rec in checks for k, v in rec.items() if isinstance(v, bool)
+    )
+    return {
+        "sampled": idx,
+        "front_size": int(f),
+        "all_ok": bool(all_ok),
+        "oracle_seconds": round(time.monotonic() - t0, 1),
+        "checks": checks,
+    }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("name")
     ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--engine", default="numpy",
+                    choices=("numpy", "kpbb", "wave", "auto"))
+    ap.add_argument("--verify-sample", type=int, default=0, metavar="K",
+                    help="oracle-verify K random points + both extremes "
+                    "(bi-objective only); record to examples/<name>.verify.json")
     ap.add_argument("--no-bundle-lp", action="store_true")
     args = ap.parse_args()
 
@@ -49,17 +148,37 @@ def main() -> int:
 
     p = read_problem(lp)
     print(f"[make_golden] {args.name}: n={p.n} rows={p.A.shape[0]} "
-          f"objcnt={p.objcnt}", flush=True)
+          f"objcnt={p.objcnt} engine={args.engine}", flush=True)
     t0 = time.monotonic()
-    res = solve_front(p, n_workers=args.workers, backend="numpy")
+    res = solve_front(p, n_workers=args.workers, backend=args.engine)
     dt = time.monotonic() - t0
     from moip_aira_tpu import __version__
 
+    tag = {
+        "numpy": "numpy oracle",
+        "kpbb": "combinatorial knapsack engine",
+        "wave": "wave engine (f64-certified)",
+        "auto": "auto engine",
+    }[args.engine]
     out = os.path.join(REPO, "examples", f"{args.name}.out")
     with open(out, "w") as fh:
-        write_out(fh, res, f"moip-aira-tpu {__version__} (numpy oracle)")
+        write_out(fh, res, f"moip-aira-tpu {__version__} ({tag})")
     print(f"[make_golden] {args.name}: {res.solution_count} points, "
           f"{res.ip_count} IPs, {dt:.1f}s -> {out}", flush=True)
+
+    if args.verify_sample > 0:
+        rec = verify_sample(p, res.points, args.verify_sample)
+        rec["engine"] = args.engine
+        rec["generated_seconds"] = round(dt, 1)
+        rec["date"] = time.strftime("%Y-%m-%d")
+        vpath = os.path.join(REPO, "examples", f"{args.name}.verify.json")
+        with open(vpath, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"[make_golden] verification {'PASSED' if rec['all_ok'] else 'FAILED'}"
+              f" ({len(rec['checks'])} sampled points, "
+              f"{rec['oracle_seconds']}s oracle) -> {vpath}", flush=True)
+        if not rec["all_ok"]:
+            return 1
     return 0
 
 
