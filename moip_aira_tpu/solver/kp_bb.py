@@ -68,13 +68,17 @@ from moip_aira_tpu.solver.status import SolveStatus
 #: denominator for rationalised cover multipliers (q = LAM_DEN*v + a.V)
 LAM_DEN = 16
 
+#: multiplier grid for the per-node dual-min bound on single-cover IPs
+#: (numerators over LAM_DEN, i.e. lambda in {0, 1/8, 1/4, 3/8, 1/2, 3/4, 1})
+MULTI_A = (0, 2, 4, 8, 12, 16)
+
 #: surrogate-multiplier candidates tried per IP (per capacity-row pair);
 #: single-cap problems use (1,)
 MU_CANDIDATES_2 = ((1, 1), (1, 0), (0, 1), (2, 1), (1, 2), (3, 2), (2, 3))
 
 #: suffix-DP table budget (bytes) — beyond it the engine falls back to the
 #: O(log n) fractional Dantzig suffix bound (still exact as a bound)
-TABLE_BUDGET = 256 * 2**20
+TABLE_BUDGET = 512 * 2**20
 
 #: nodes granted to the first dive before pegging kicks in
 FIRST_BUDGET = 4_000
@@ -210,35 +214,42 @@ def _greedy_ub(q: np.ndarray, ws: np.ndarray, cap: int) -> float:
     return val
 
 
-def _suffix_dp(val: np.ndarray, ws: np.ndarray, Cs: int) -> List[np.ndarray]:
-    """F[k][c] = max val over items k.. with total ws <= c (int64 exact)."""
+def _suffix_dp(val: np.ndarray, ws: np.ndarray, Cs: int) -> np.ndarray:
+    """F[k][c] = max val over items k.. with total ws <= c (exact int32:
+    blended profits stay < 2^22 for the bundled families — asserted).
+
+    One preallocated (n+1, Cs+1) block: building tables as lists of fresh
+    per-row arrays thrashed the allocator (measured: ndarray.copy was half
+    the KP2D100 ladder)."""
     n = val.shape[0]
-    F: List[np.ndarray] = [None] * (n + 1)  # type: ignore[list-item]
-    F[n] = np.zeros(Cs + 1, dtype=np.int64)
+    assert int(np.abs(val).sum()) < 2**31 - 1, "profit sum overflows int32"
+    F = np.empty((n + 1, Cs + 1), dtype=np.int32)
+    F[n] = 0
     for k in range(n - 1, -1, -1):
         prev = F[k + 1]
+        cur = F[k]
+        cur[:] = prev
         w, qv = int(ws[k]), int(val[k])
-        cur = prev.copy()
         if w <= Cs:
             take = prev[: Cs + 1 - w] + qv
             np.maximum(cur[w:], take, out=cur[w:])
-        F[k] = cur
     return F
 
 
-def _prefix_dp(val: np.ndarray, ws: np.ndarray, Cs: int) -> List[np.ndarray]:
+def _prefix_dp(val: np.ndarray, ws: np.ndarray, Cs: int) -> np.ndarray:
     """P[k][c] = max val over items 0..k-1 with total ws <= c."""
     n = val.shape[0]
-    P: List[np.ndarray] = [None] * (n + 1)  # type: ignore[list-item]
-    P[0] = np.zeros(Cs + 1, dtype=np.int64)
+    assert int(np.abs(val).sum()) < 2**31 - 1, "profit sum overflows int32"
+    P = np.empty((n + 1, Cs + 1), dtype=np.int32)
+    P[0] = 0
     for k in range(n):
         prev = P[k]
+        cur = P[k + 1]
+        cur[:] = prev
         w, qv = int(ws[k]), int(val[k])
-        cur = prev.copy()
         if w <= Cs:
             take = prev[: Cs + 1 - w] + qv
             np.maximum(cur[w:], take, out=cur[w:])
-        P[k + 1] = cur
     return P
 
 
@@ -254,7 +265,7 @@ class _Tables:
 
     __slots__ = (
         "cols", "q", "ws", "W", "V", "v", "b", "F", "Fcap", "G", "Cs",
-        "dp", "qpre", "wpre", "mu", "n",
+        "dp", "qpre", "wpre", "mu", "n", "multi",
     )
 
     def __init__(
@@ -293,7 +304,8 @@ class _Tables:
         self.Cs = Cs
         ncov_all = Vall.shape[0]
         cells = (n + 1) * ((Cs + 1) * (1 + ncov_all) + int((b + 1).sum()))
-        self.dp = cells * 8 <= TABLE_BUDGET
+        self.dp = cells * 4 <= TABLE_BUDGET
+        self.multi = []
         if self.dp:
             self.F = _suffix_dp(self.q, self.ws, Cs)
             self.Fcap = [
@@ -310,6 +322,26 @@ class _Tables:
             self.F = None
             self.Fcap = None
             self.G = None
+
+    def ensure_multi(self) -> None:
+        """Build the dual-min multiplier grid (single-cover IPs) LAZILY.
+
+        One lambda's bound has a pointwise plateau (measured KP2D200
+        d=8495: root gap 26 yet 7M nodes); the per-node dual min over a
+        small multiplier grid prunes where any single table cannot — each
+        table is a valid relaxation over the SAME branch order.  Building
+        the grid eagerly taxed every easy IP with ~6 table builds
+        (KP2D100 ladder 3.3 s -> 6.0 s), so it happens only when an IP
+        survives its budgeted first dive."""
+        if self.multi or not self.dp or self.V.shape[0] != 1:
+            return
+        n = self.n
+        multi_cells = (len(MULTI_A) + 1) * (n + 1) * (self.Cs + 1)
+        if multi_cells * 4 > TABLE_BUDGET:
+            return
+        for a_s in MULTI_A:
+            qa = LAM_DEN * self.v + a_s * self.V[0]
+            self.multi.append((a_s, _suffix_dp(qa, self.ws, self.Cs)))
 
     def traceback(self) -> List[int]:
         """One surrogate-optimal take-set (sorted positions), from F."""
@@ -421,14 +453,24 @@ class KPIPSolver:
             all_V.astype(np.float64),
             all_d.astype(np.float64),
         )
+        # NOTE the tuned `a` stays: it sets the BRANCHING ORDER (tab.q's
+        # ratio sort), and pinning it to a constant was measured to double
+        # the whole KP2D200 ladder even with the dual grid active — order
+        # quality beats table-cache hit rate.
         # cov_rows is part of the key: it determines all_V's CONTENT, which
         # both the Lagrangian profit q and every G table depend on
         key = (j, mu, tuple(a.tolist()), tuple(cov_rows))
         tab = self.cache.get(key)
         if tab is None:
             tab = _Tables(v, a, all_V, mu, fam.W, fam.b)
-            if len(self.cache) > 12:
-                self.cache.clear()
+            while len(self.cache) > 16:
+                # oldest-entry eviction: clear-all thrashed when the two
+                # workers' live key set hovered at the cap
+                self.cache.pop(next(iter(self.cache)))
+            self.cache[key] = tab
+        else:
+            # LRU touch (dict preserves insertion order)
+            self.cache.pop(key)
             self.cache[key] = tab
         lam_d = int(a @ all_d) if a.size else 0
 
@@ -472,7 +514,9 @@ class KPIPSolver:
             tab, all_d, lam_d, best_v, best_x, FIRST_BUDGET
         )
         if not done:
-            # peg against the dive-improved incumbent, restart on the core
+            # hard IP: arm the dual-min grid, peg against the dive-improved
+            # incumbent, restart on the core
+            tab.ensure_multi()
             tab2, base = self._peg(tab, all_d, lam_d, best_v)
             if tab2 is None:
                 # pegging couldn't shrink the core: finish on the full tree
@@ -611,6 +655,8 @@ class KPIPSolver:
         G = tab.G
         dp = tab.dp
         cols = tab.cols
+        multi = tab.multi if dp else []
+        d0 = int(all_d[0]) if multi else 0
         if not dp:
             qpre = tab.qpre
             wpre = tab.wpre
@@ -648,19 +694,40 @@ class KPIPSolver:
                     raise NodeLimitExceeded(f"kp_bb node limit at depth {k}")
                 raise _BudgetExceeded()
             rc = Cs - us
-            # rigorous optimality bound: min of the surrogate-row bound and
-            # every single-capacity-row bound (each a valid relaxation)
+            # rigorous optimality bounds, tried cheapest-first with a
+            # short-circuit: the surrogate-row bound, each capacity-row
+            # bound, then (single-cover IPs) the dual grid — every one a
+            # valid relaxation, so ANY of them pruning is sound, and most
+            # nodes prune on the first or second lookup
+            target = LAMD * best_v + LAMD - 1  # prune iff ub_num <= ...
             if dp:
-                ub = F[k][rc]
+                # int() on every table lookup: int32 numpy scalars mixed
+                # with large Python ints (lam_d can exceed int32 on
+                # unattainable covers) raise OverflowError otherwise
+                if qa + int(F[k][rc]) - lam_d <= target:
+                    return
+                pruned = False
                 for r in range(ncap):
-                    fr = Fcap[r][k][b_l[r] - used[r]]
-                    if fr < ub:
-                        ub = fr
-                ub_num = qa + int(ub) - lam_d
+                    if (
+                        qa + int(Fcap[r][k][b_l[r] - used[r]]) - lam_d
+                        <= target
+                    ):
+                        pruned = True
+                        break
+                if pruned:
+                    return
+                if multi:
+                    base = LAMD * va
+                    vc0 = vacc_cov[0]
+                    for a_s, Fa in multi:
+                        if base + a_s * (vc0 - d0) + int(Fa[k][rc]) <= target:
+                            pruned = True
+                            break
+                    if pruned:
+                        return
             else:
-                ub_num = qa + frac_bound(k, rc) - lam_d
-            if ub_num // LAMD <= best_v:
-                return
+                if qa + frac_bound(k, rc) - lam_d <= target:
+                    return
             # rigorous cover-feasibility bound
             for l in range(ncov):
                 hi = int(G[l][k][rc]) if dp else int(Vsuf[l][k])
@@ -731,7 +798,8 @@ def _reduced_tables(tab: _Tables, free: np.ndarray, b_red: np.ndarray):
     sub.Cs = Cs
     ncov = tab.V.shape[0]
     cells = (n + 1) * ((Cs + 1) * (1 + ncov) + int((b_red + 1).sum()))
-    sub.dp = cells * 8 <= TABLE_BUDGET
+    sub.dp = cells * 4 <= TABLE_BUDGET
+    sub.multi = []
     if sub.dp:
         sub.F = _suffix_dp(sub.q, sub.ws, Cs)
         sub.Fcap = [
@@ -739,6 +807,10 @@ def _reduced_tables(tab: _Tables, free: np.ndarray, b_red: np.ndarray):
             for r in range(sub.W.shape[0])
         ]
         sub.G = [_suffix_dp(sub.V[l], sub.ws, Cs) for l in range(ncov)]
+        if tab.multi and ncov == 1:
+            for a_s, _ in tab.multi:
+                qa = LAM_DEN * sub.v + a_s * sub.V[0]
+                sub.multi.append((a_s, _suffix_dp(qa, sub.ws, Cs)))
     else:
         sub.qpre = np.concatenate([[0], np.cumsum(sub.q)])
         sub.wpre = np.concatenate([[0], np.cumsum(sub.ws)])
