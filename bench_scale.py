@@ -162,7 +162,9 @@ def run_one(
             row["backend"] += "+cold"
         t0 = time.monotonic()
         res = solve_front(p, n_workers=workers, backend=backend, split=split)
-        row["elapsed_s"] = round(time.monotonic() - t0, 1)
+        # 3 decimals: sub-100ms rows (combinatorial engine) rounded to 0.0
+        # and broke their speedup column
+        row["elapsed_s"] = round(time.monotonic() - t0, 3)
         row["points"] = res.solution_count
         row["ips"] = res.ip_count
         if res.ip_count == 0 and res.solution_count > 0:
@@ -187,7 +189,7 @@ def run_one(
     else:
         row["parity"] = "unverified (no bundled golden)"
     ref = REF_T1.get(name)
-    if ref and row["elapsed_s"]:
+    if ref and row["elapsed_s"]:  # elapsed always > 0 at 3 decimals now
         row["vs_ref_t1"] = round(ref / row["elapsed_s"], 2)
     return row
 
