@@ -175,5 +175,64 @@ class MatchCourt:
         ):
             self.stats["solved"] += 1
             return ("solved", float(task.cvec[: self.n] @ x), x)
+        # Lagrangian court (round 5): the plain matching bound ignores the
+        # objective-bound rows, so nodes whose box BINDS stay "open" and
+        # fall to a ~10-20 ms exact LP — measured 51% of judged records on
+        # 2AP20, and the resulting lockstep LP batch was 55% of the whole
+        # 2AP40 wall.  For each bound row the attaining matching violates,
+        # fold it into the cost with a small dyadic multiplier grid: every
+        # blend is still an exact min-cost matching over integral data
+        # (mu dyadic => f64 sums exact), hence
+        #   min cvec.x >= match_min(cvec + mu*row) - mu*u   (row.x <= u)
+        #   min cvec.x >= match_min(cvec - mu*row) + mu*l   (row.x >= l)
+        # — rigorous prunes exactly like kp_bb's per-node dual-min grid.
+        for r in s.ineq_rows:
+            row = self.A_full[r]
+            a_r = float(act[r])
+            u = task.lhi[r]
+            l = task.llo[r]
+            over = np.isfinite(u) and a_r > u + eps
+            under = np.isfinite(l) and a_r < l - eps
+            if not (over or under):
+                continue
+            if (
+                float(np.abs(row[: self.n]).max(initial=0.0)) * 4.0 * self.NA
+                >= BIG / 8
+            ):
+                continue  # blend would near the sentinel: leave to the LP
+            for mu in (0.25, 0.5, 1.0, 2.0, 4.0):
+                if over:
+                    cost = task.cvec[: self.n] + mu * row[: self.n]
+                    off = -mu * float(u)
+                else:
+                    cost = task.cvec[: self.n] - mu * row[: self.n]
+                    off = mu * float(l)
+                bval, bx = self.min_cost(cost, nlo, nhi)
+                if bval is None:
+                    self.stats["infeasible"] += 1
+                    return ("infeasible",)
+                lb = bval + off
+                pb = float(np.ceil(lb - int_tol)) if task.obj_int else lb
+                if pb >= task.best - eps:
+                    self.stats["pruned"] += 1
+                    return ("pruned", pb)
+                # complementary slackness: a blend-attaining matching that
+                # is feasible for the FULL node and tight on row r proves
+                # itself optimal (its cvec value equals the valid bound)
+                bact = self.A_full @ bx
+                tight = (
+                    abs(bact[r] - (u if over else l)) <= eps
+                )
+                if (
+                    tight
+                    and np.all(bact >= task.llo - eps)
+                    and np.all(bact <= task.lhi + eps)
+                    and np.all(bx >= nlo[: self.n] - eps)
+                    and np.all(bx <= nhi[: self.n] + eps)
+                ):
+                    self.stats["solved"] += 1
+                    return (
+                        "solved", float(task.cvec[: self.n] @ bx), bx
+                    )
         self.stats["open"] += 1
         return None
