@@ -80,6 +80,10 @@ def make_backend(
         from moip_aira_tpu.solver.kp_bb import KnapsackLexBackend
 
         return KnapsackLexBackend(problem)
+    if backend == "apbb":
+        from moip_aira_tpu.solver.ap_bb import APLexBackend
+
+        return APLexBackend(problem)
     if backend == "auto":
         # structure-aware routing first: the multi-constraint knapsack
         # family closes its IPs with exact surrogate-DP combinatorics
@@ -93,6 +97,15 @@ def make_backend(
         fam = detect_kp_family(problem)
         if fam is not None:
             return KnapsackLexBackend(problem, fam)
+        # assignment family: Lagrangian matching branch-and-bound
+        # (solver/ap_bb.py) closes each lex IP with exact integer Hungarian
+        # bounds instead of degenerate Birkhoff-polytope LPs — measured
+        # 2AP40: 551 s on the LP engine vs seconds here
+        from moip_aira_tpu.solver.ap_bb import APLexBackend, detect_ap_family
+
+        afam = detect_ap_family(problem)
+        if afam is not None:
+            return APLexBackend(problem, afam)
         try:
             import jax
 

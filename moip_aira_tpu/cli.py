@@ -51,11 +51,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Accepted for aira compatibility; the native backend "
                          "batches branch-and-bound nodes instead.")
     ap.add_argument("--backend",
-                    choices=("auto", "jax", "wave", "numpy", "kpbb"),
+                    choices=("auto", "jax", "wave", "numpy", "kpbb", "apbb"),
                     default="auto",
-                    help="Solve kernel backend (kpbb = combinatorial "
-                    "knapsack engine; auto routes the knapsack family "
-                    "there).")
+                    help="Solve kernel backend (kpbb/apbb = combinatorial "
+                    "knapsack/assignment engines; auto routes each detected "
+                    "family there).")
     ap.add_argument("--mesh", dest="mesh", type=int, default=None,
                     help="Shard solve batches over an N-device mesh "
                          "(wave backend).")

@@ -12,6 +12,8 @@ Engines:
   kpbb  — the combinatorial knapsack engine (solver/kp_bb.py): exact
           int64 arithmetic end to end, ~1000x the oracle's speed on the
           KP2D family.
+  apbb  — the combinatorial assignment engine (solver/ap_bb.py): exact
+          integer Hungarian bounds, ~100x the oracle on the AP family.
   wave  — the TPU production path (every emitted point f64-certified per
           the exactness invariant).
   auto  — whatever api.solve_front routes to.
@@ -126,7 +128,7 @@ def main() -> int:
     ap.add_argument("name")
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--engine", default="numpy",
-                    choices=("numpy", "kpbb", "wave", "auto"))
+                    choices=("numpy", "kpbb", "apbb", "wave", "auto"))
     ap.add_argument("--verify-sample", type=int, default=0, metavar="K",
                     help="oracle-verify K random points + both extremes "
                     "(bi-objective only); record to examples/<name>.verify.json")
@@ -157,6 +159,7 @@ def main() -> int:
     tag = {
         "numpy": "numpy oracle",
         "kpbb": "combinatorial knapsack engine",
+        "apbb": "combinatorial assignment engine",
         "wave": "wave engine (f64-certified)",
         "auto": "auto engine",
     }[args.engine]
