@@ -54,11 +54,23 @@ def make_pallas_lp_batch(
     pivot_tol: float = 3e-5,
     interpret: bool = False,
     aot: bool = False,
+    pack: bool = False,
 ):
     """Build fn(c, lo, hi) -> (status, obj, x, basis, at_upper, iters).
 
     Inputs are (B, nc) f32 in the UNPADDED column layout [x | logicals];
     outputs match simplex_jax.LPOutcome fields (batched, unpadded).
+
+    ``pack=True`` changes the contract to fn(S) -> buf with ONE fused
+    f32 buffer in each direction: S is (5, B, n+m) holding
+    [c | lo | hi | at-upper | basis-plane] and buf is (B, 2n+2m+2) with
+    columns [obj | x(n) | status | basis(m) | at_upper(n+m)].  Rationale:
+    the axon tunnel charges its full round-trip latency PER TRANSFERRED
+    LEAF — the 5-leaf output fetch alone was ~34% of a warm 2AP05 bench
+    trial.  The integer fields ride as exact small-magnitude f32 values
+    (astype, not bitcast: statuses/indices < 2^24, and astype cannot
+    produce the denormal bit patterns a bitcast could); each side rounds
+    them back.
     """
     m, nc = W_np.shape
     n = nc - m
@@ -534,8 +546,7 @@ def make_pallas_lp_batch(
         interpret=interpret,
     )
 
-    @jax.jit
-    def _solve_batch_w(Wp_arg, c, lo, hi, wb, wa):
+    def _core(Wp_arg, c, lo, hi, wb, wa):
         # W is a runtime argument (not a traced constant) so the persistent
         # compilation cache is keyed on SHAPES only — every instance of the
         # same (m, n) shape reuses one compile.
@@ -557,6 +568,17 @@ def make_pallas_lp_batch(
         status, obj, z, basis, atup, iters = pallas_fn(
             Wp_arg, cp, lop, hip, wbp, wap
         )
+        if pack:
+            return jnp.concatenate(
+                [
+                    obj[:, :1],
+                    z[:, :n],
+                    status[:, :1].astype(jnp.float32),
+                    basis[:, :m].astype(jnp.float32),
+                    atup[:, : n + m].astype(jnp.float32),
+                ],
+                axis=1,
+            )
         return (
             status[:, 0],
             obj[:, 0],
@@ -566,31 +588,53 @@ def make_pallas_lp_batch(
             iters[:, 0],
         )
 
+    if pack:
+        # single fused INPUT buffer too: c/lo/hi/wb/wa as separate uploads
+        # paid the tunnel round-trip per leaf just like the output fetch.
+        # S is (5, NB, n+m) f32: [c | lo | hi | at-upper | basis-plane]
+        # (basis ids < nc_p < 2^24 ride exactly as f32; -1 = cold)
+        @jax.jit
+        def _solve_batch_w(Wp_arg, S):
+            c, lo, hi = S[0], S[1], S[2]
+            wa = S[3].astype(jnp.int32)
+            wb = S[4, :, :m].astype(jnp.int32)
+            return _core(Wp_arg, c, lo, hi, wb, wa)
+    else:
+        _solve_batch_w = jax.jit(_core)
+
     if aot and not interpret:
         # AOT-compile + disk-cache the executable (utils/aot_cache.py): the
         # axon platform's server-side compile otherwise re-runs per process.
         # Lowered under x64(False) to match the caller's call-time context.
         from moip_aira_tpu.utils.aot_cache import cached_compile
 
+        dummy = (
+            (jnp.zeros((5, NB, n + m), jnp.float32),)
+            if pack
+            else (
+                jnp.zeros((NB, n + m), jnp.float32),
+                jnp.zeros((NB, n + m), jnp.float32),
+                jnp.zeros((NB, n + m), jnp.float32),
+                jnp.full((NB, m), -1, jnp.int32),
+                jnp.zeros((NB, n + m), jnp.int32),
+            )
+        )
         with jax.enable_x64(False):
             _solve_batch_w = cached_compile(
                 _solve_batch_w,
-                (
-                    Wp_j,
-                    jnp.zeros((NB, n + m), jnp.float32),
-                    jnp.zeros((NB, n + m), jnp.float32),
-                    jnp.zeros((NB, n + m), jnp.float32),
-                    jnp.full((NB, m), -1, jnp.int32),
-                    jnp.zeros((NB, n + m), jnp.int32),
-                ),
-                tag=f"lp-m{m}-n{n}-b{NB}",
+                (Wp_j,) + dummy,
+                tag=f"lp-m{m}-n{n}-b{NB}" + ("-pk" if pack else ""),
             )
 
-    def solve_batch(c, lo, hi, wb=None, wa=None):
-        if wb is None:
-            wb = jnp.full((NB, m), -1, jnp.int32)
-            wa = jnp.zeros((NB, n + m), jnp.int32)
-        return _solve_batch_w(Wp_j, c, lo, hi, wb, wa)
+    if pack:
+        def solve_batch(S):
+            return _solve_batch_w(Wp_j, S)
+    else:
+        def solve_batch(c, lo, hi, wb=None, wa=None):
+            if wb is None:
+                wb = jnp.full((NB, m), -1, jnp.int32)
+                wa = jnp.zeros((NB, n + m), jnp.int32)
+            return _solve_batch_w(Wp_j, c, lo, hi, wb, wa)
 
     meta = dict(m=m, nc=nc, n=n, m_p=m_p, nc_p=nc_p, chunk=CHUNK)
     return solve_batch, meta

@@ -58,12 +58,14 @@ def make_pallas_rev_batch(
     pivot_tol: float = 3e-5,
     interpret: bool = False,
     aot: bool = False,
+    pack: bool = False,
 ):
     """Build fn(c, lo, hi[, wb, wa]) -> (status, obj, x, basis, at_upper, iters).
 
     Same contract as pallas_lp.make_pallas_lp_batch (inputs (B, nc) f32 in
     the unpadded [x | logicals] layout; wb (B, m) i32 basis / -1 = cold,
-    wa (B, nc) i32 at-upper flags).
+    wa (B, nc) i32 at-upper flags), including the ``pack`` single fused
+    transfer buffer in each direction (see pallas_lp.py for the layout).
     """
     m, nc = W_np.shape
     n = nc - m
@@ -612,8 +614,7 @@ def make_pallas_rev_batch(
         interpret=interpret,
     )
 
-    @jax.jit
-    def _solve_batch_w(Wp_arg, c, lo, hi, wb, wa):
+    def _core(Wp_arg, c, lo, hi, wb, wa):
         # W is a runtime argument so the persistent compile cache keys on
         # SHAPES only — instances of one (m, n) shape share a compile
         zpad = jnp.zeros((NB, nc_p - (n + m)), jnp.float32)
@@ -633,6 +634,19 @@ def make_pallas_rev_batch(
         status, obj, z, basis, atup, iters = pallas_fn(
             Wp_arg, cp, lop, hip, wbp, wap
         )
+        if pack:
+            # one fused (B, 2n+2m+2) transfer buffer — see pallas_lp.py's
+            # make_pallas_lp_batch docstring for the layout + rationale
+            return jnp.concatenate(
+                [
+                    obj[:, :1],
+                    z[:, :n],
+                    status[:, :1].astype(jnp.float32),
+                    basis[:, :m].astype(jnp.float32),
+                    atup[:, : n + m].astype(jnp.float32),
+                ],
+                axis=1,
+            )
         return (
             status[:, 0],
             obj[:, 0],
@@ -642,31 +656,50 @@ def make_pallas_rev_batch(
             iters[:, 0],
         )
 
+    if pack:
+        # fused input buffer (see pallas_lp.py): S (5, NB, n+m) f32
+        @jax.jit
+        def _solve_batch_w(Wp_arg, S):
+            c, lo, hi = S[0], S[1], S[2]
+            wa = S[3].astype(jnp.int32)
+            wb = S[4, :, :m].astype(jnp.int32)
+            return _core(Wp_arg, c, lo, hi, wb, wa)
+    else:
+        _solve_batch_w = jax.jit(_core)
+
     if aot and not interpret:
         # AOT-compile + disk-cache the executable (utils/aot_cache.py): the
         # axon platform's server-side compile otherwise re-runs per process.
         # Lowered under x64(False) to match the caller's call-time context.
         from moip_aira_tpu.utils.aot_cache import cached_compile
 
+        dummy = (
+            (jnp.zeros((5, NB, n + m), jnp.float32),)
+            if pack
+            else (
+                jnp.zeros((NB, n + m), jnp.float32),
+                jnp.zeros((NB, n + m), jnp.float32),
+                jnp.zeros((NB, n + m), jnp.float32),
+                jnp.full((NB, m), -1, jnp.int32),
+                jnp.zeros((NB, n + m), jnp.int32),
+            )
+        )
         with jax.enable_x64(False):
             _solve_batch_w = cached_compile(
                 _solve_batch_w,
-                (
-                    Wp_j,
-                    jnp.zeros((NB, n + m), jnp.float32),
-                    jnp.zeros((NB, n + m), jnp.float32),
-                    jnp.zeros((NB, n + m), jnp.float32),
-                    jnp.full((NB, m), -1, jnp.int32),
-                    jnp.zeros((NB, n + m), jnp.int32),
-                ),
-                tag=f"rev-m{m}-n{n}-b{NB}",
+                (Wp_j,) + dummy,
+                tag=f"rev-m{m}-n{n}-b{NB}" + ("-pk" if pack else ""),
             )
 
-    def solve_batch(c, lo, hi, wb=None, wa=None):
-        if wb is None:
-            wb = jnp.full((NB, m), -1, jnp.int32)
-            wa = jnp.zeros((NB, n + m), jnp.int32)
-        return _solve_batch_w(Wp_j, c, lo, hi, wb, wa)
+    if pack:
+        def solve_batch(S):
+            return _solve_batch_w(Wp_j, S)
+    else:
+        def solve_batch(c, lo, hi, wb=None, wa=None):
+            if wb is None:
+                wb = jnp.full((NB, m), -1, jnp.int32)
+                wa = jnp.zeros((NB, n + m), jnp.int32)
+            return _solve_batch_w(Wp_j, c, lo, hi, wb, wa)
 
     meta = dict(m=m, nc=nc, n=n, m_p=m_p, nc_p=nc_p, chunk=CHUNK)
     return solve_batch, meta

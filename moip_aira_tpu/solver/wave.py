@@ -243,6 +243,12 @@ class WaveLexBackend:
                 # AOT-executable disk cache (utils/aot_cache.py); a mesh
                 # needs a traceable fn for shard_map, so AOT is off there
                 aot=mesh is None and not _interp,
+                # fused transfer buffers both ways: the axon tunnel charges
+                # its round-trip latency PER TRANSFERRED LEAF, so the
+                # 5-leaf LPOutcome fetch + 3 input uploads were 8
+                # transfers/wave (the fetch alone ~34% of a warm 2AP05
+                # bench trial); _complete_wave unpacks host-side
+                pack=True,
             )
             self._pallas_meta = pmeta
             if mesh is not None:
@@ -252,37 +258,37 @@ class WaveLexBackend:
                 from jax.sharding import PartitionSpec as P
 
                 axes = tuple(mesh.axis_names)
-                bspec = P(axes, None)
                 pfn = shard_map(
                     pfn,
                     mesh=mesh,
-                    in_specs=(bspec, bspec, bspec, bspec, bspec),
-                    out_specs=(P(axes), P(axes), bspec, bspec, bspec, P(axes)),
+                    # S is (5, B, nc): batch dim is axis 1
+                    in_specs=(P(None, axes, None),),
+                    out_specs=P(axes, None),
                     check_rep=False,
                 )
 
             def _run(c, lo, hi, wb, wa):
                 # the pallas kernel is pure f32/i32; tracing it under the
                 # global x64 mode trips a jax recursion bug, so scope it out.
-                # c/lo/hi arrive stacked as one upload; split on device.
-                # logical bounds ride the row equilibration (see __init__)
+                # ALL inputs ride ONE (5, B, nc) f32 upload (pack=True):
+                # [c | lo | hi | at-upper | basis-plane], basis ids exact
+                # as f32 (< 2^24), logical bounds row-equilibrated here
+                nc_ = self.n + self.m
+                Bq = c.shape[0]
+                S = np.zeros((5, Bq, nc_), dtype=np.float32)
+                S[0] = c[:, :nc_]
                 lo = np.asarray(lo, dtype=np.float64).copy()
                 hi = np.asarray(hi, dtype=np.float64).copy()
                 lo[:, self.n :] *= self._row_scale
                 hi[:, self.n :] *= self._row_scale
+                S[1] = lo[:, :nc_]
+                S[2] = hi[:, :nc_]
+                S[3] = wa[:, :nc_]
+                S[4, :, : self.m] = wb
                 with jax.enable_x64(False):
-                    clh = jnp.asarray(
-                        np.stack([c, lo, hi]), dtype=jnp.float32
-                    )
-                    wbj = jnp.asarray(wb, dtype=jnp.int32)
-                    waj = jnp.asarray(wa[:, : self.n + self.m], dtype=jnp.int32)
-                    status, obj, x, basis, atup, iters = pfn(
-                        clh[0], clh[1], clh[2], wbj, waj
-                    )
-                return sx.LPOutcome(
-                    status=status, obj=obj, x=x, basis=basis,
-                    at_upper=atup, iters=iters,
-                )
+                    # packed (B, 2n+2m+2) device buffer; unpacked after the
+                    # single bulk fetch in _complete_wave
+                    return pfn(jnp.asarray(S))
 
             self._lp_batch = _run
             self._dtype = jnp.float32
@@ -810,10 +816,15 @@ class WaveLexBackend:
                 wb_buf[i] = wb
                 wa_buf[i] = wa
         if nb < B:
-            # pad with a copy of lane 0 (cheap, discarded)
-            c_buf[nb:] = c_buf[0]
-            lo_buf[nb:] = lo_buf[0]
-            hi_buf[nb:] = hi_buf[0]
+            # pad with the TRIVIAL LP (all columns fixed at 0, zero cost):
+            # its lanes go optimal on the first pricing pass, so grid
+            # chunks made only of padding exit almost immediately — the
+            # kernel's chunks run SEQUENTIALLY, so a lane-0 copy (the old
+            # padding) made every short wave cost a FULL batch of device
+            # time (measured 2AP05 bench: avg fill 877/2048 lanes)
+            c_buf[nb:] = 0.0
+            lo_buf[nb:] = 0.0
+            hi_buf[nb:] = 0.0
         out = self._lp_batch(c_buf, lo_buf, hi_buf, wb_buf, wa_buf)
         return wave, nb, c_buf, lo_buf, hi_buf, out
 
@@ -825,11 +836,23 @@ class WaveLexBackend:
         from moip_aira_tpu.utils.trace import GLOBAL_TIMINGS
 
         with GLOBAL_TIMINGS.span("wave.device_lp"):
-            # ONE device->host transfer for all outputs — per-array fetches
-            # each pay the full tunnel round-trip latency
-            status, objv, xs, basis_h, atup_h = jax.device_get(
-                (out.status, out.obj, out.x, out.basis, out.at_upper)
-            )
+            # ONE device->host transfer for all outputs: a tuple fetch
+            # still pays the tunnel round-trip PER LEAF, so the pallas
+            # kernels return one fused buffer (pack_out, pallas_lp.py)
+            if hasattr(out, "status"):  # XLA path: LPOutcome tuple
+                status, objv, xs, basis_h, atup_h = jax.device_get(
+                    (out.status, out.obj, out.x, out.basis, out.at_upper)
+                )
+            else:
+                buf = np.asarray(jax.device_get(out), dtype=np.float64)
+                n_, m_ = self.n, self.m
+                objv = buf[:, 0]
+                xs = buf[:, 1 : 1 + n_]
+                status = np.rint(buf[:, 1 + n_]).astype(np.int32)
+                basis_h = np.rint(buf[:, 2 + n_ : 2 + n_ + m_]).astype(
+                    np.int32
+                )
+                atup_h = np.rint(buf[:, 2 + n_ + m_ :]).astype(np.int32)
         status = np.asarray(status)
         objv = np.asarray(objv, dtype=np.float64)
         xs = np.asarray(xs, dtype=np.float64)
