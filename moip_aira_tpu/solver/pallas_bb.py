@@ -139,18 +139,16 @@ def make_pallas_bb_batch(
     # of its fragment; the record lands on the same host path either way.
     # MOIP_FRAG_P1_STALL=0 disables (burn the full node budget as before).
     p1_stall = int(knobs.get("MOIP_FRAG_P1_STALL", str(stall_exit)))
-    #: dual-simplex reoptimisation of warm nodes — implemented, MEASURED,
-    #: and default OFF: on 2AP20 it ran 134.2 s vs 39.9 s (host records
-    #: 3015 vs 540; iterlim 1503 vs 279, false INFEASIBLE claims 926 vs
-    #: 144).  Assignment DUALS are as degenerate as the primals — most
-    #: reduced costs sit at 0, so the f32 dual ratio test picks endless
-    #: ratio-0 pivots and the no-eligible-column infeasibility claim
-    #: misfires on d-sign noise.  A production dual needs bound-flipping
-    #: (long-step) ratio tests + Harris tolerancing to pay off here;
-    #: MOIP_DUAL=1 opts in to the simple version for experiments.  With
-    #: the flag off the traced kernel is identical to the composite
-    #: -primal one (no dual ops are emitted).
-    use_dual = knobs.get("MOIP_DUAL") == "1"
+    # Dual-simplex reoptimisation of warm nodes: built, measured twice, and
+    # DELETED (round 5).  The simple dual lost r3's A/B (2AP20 134.2 s vs
+    # 39.9 s, 926 false INFEASIBLE claims from f32 d-sign noise); the
+    # production version (bound-flipping long-step ratio test + Harris
+    # tie-breaking, r4) was a wash at 2AP20 and LOST at 2AP40 (>100 min vs
+    # the primal's 20).  Round 5 then moved its entire target workload —
+    # warm assignment-family children — off the LP path altogether
+    # (solver/ap_bb.py closes those IPs with exact matchings), leaving the
+    # dual no instance family to win on.  git history has the full kernel
+    # (tag: commit 6dd59ef) if a future workload re-motivates it.
     m_p = _round_up(m, 8)
     nc_p = _round_up(n + m_p, 128)
     PW = _round_up(-(-nc_p // 16), 128)  # packed at-upper words
@@ -166,7 +164,7 @@ def make_pallas_bb_batch(
         + 11 * nc_p  # c/lo/hi/wa/clo/chi/zv-temps/bestx/inb/atup
         + 13 * m_p
         + 6 * D
-        + 10 * 128  # per-lane scalar rows (stall/lpstat/.../dmode)
+        + 9 * 128  # per-lane scalar rows (stall/lpstat/.../restart)
         + F * (128 + m_p + PW)
     ) * 4
     bytes_shared = (m_p * nc_p + nc_p * PW) * 4
@@ -218,7 +216,7 @@ def make_pallas_bb_batch(
         # scratch
         BI, P1, xB, bl, bh, cB, cIb, basis, inb, atup,
         clo, chi, zscr,
-        stall, lpstat, lobj, niter, mode, best, ncnt, depth, restart, dmode,
+        stall, lpstat, lobj, niter, mode, best, ncnt, depth, restart,
         st_j, st_fl, st_ol, st_oh, st_state, st_dir,
     ):
         c = c_ref[...]
@@ -420,11 +418,6 @@ def make_pallas_bb_batch(
             jnp.where(active0, LS_TICKS, LS_EXHAUSTED).astype(jnp.int32)
         )
         restart[...] = sc(active0.astype(jnp.int32))
-        # dual-mode provenance: a warm root's basis came from a claimed
-        # -optimal parent record => dual feasible; cold (-I) roots are not
-        dmode[...] = sc(
-            use_warm.astype(jnp.int32) * jnp.int32(1 if use_dual else 0)
-        )
         st_j[...] = jnp.zeros((B, D), jnp.int32)
         st_fl[...] = jnp.zeros((B, D), jnp.float32)
         st_ol[...] = jnp.zeros((B, D), jnp.float32)
@@ -509,26 +502,7 @@ def make_pallas_bb_batch(
             infeas_sum = jnp.sum(infeas, axis=1)
             phase1 = infeas_sum > feas_tol
 
-            # ---- dual-simplex reoptimisation for warm nodes ----------------
-            # A node inherits its parent's OPTIMAL basis, and dual
-            # feasibility (the sign pattern of d = c - cB B^-1 W per
-            # at-upper status) depends only on (c, basis, statuses) — all
-            # preserved across bound changes.  So a primal-infeasible warm
-            # node is exactly the dual simplex's home turf: pick the most
-            # violated basic row, price its tableau row, enter by the dual
-            # ratio test — typically a handful of pivots where the
-            # composite primal phase-1 wanders hundreds on the degenerate
-            # assignment polytope (2AP40: 12.7k ITERLIM records, each an
-            # exact host LP).  dmode tracks per-lane dual-feasibility
-            # provenance: set when a node closes with a claimed-optimal
-            # basis (BRANCH/PRUNE/LEAF), cleared on ITERLIM/INFEAS (mid
-            # -solve or phase-1 bases).  All claims remain audited.
-            if use_dual:
-                dualm = (dmode[:, 0] > 0) & phase1
-                p1_primal = phase1 & ~dualm
-            else:
-                dualm = None  # no dual ops traced at all
-                p1_primal = phase1
+            p1_primal = phase1
             cB_eff = jnp.where(
                 eb(p1_primal),
                 jnp.where(below, -1.0, jnp.where(above, 1.0, 0.0)),
@@ -552,133 +526,9 @@ def make_pallas_bb_batch(
             score = jnp.where(eb(bland), score_b, score_d)
             q_p = jnp.argmax(score, axis=1).astype(jnp.int32)
 
-            if use_dual:
-                # ---- dual selection (dualm lanes): leaving row, then a
-                # bound-flipping (long-step) ratio test with Harris-style
-                # tie-breaking — the production dual for the massively
-                # degenerate assignment/knapsack polytopes, where the
-                # textbook min-ratio test cycles on ratio-0 breakpoints
-                # (measured r3: 2AP20 134.2 s vs 39.9 s, 926 false
-                # INFEASIBLE claims).  Walk the breakpoints of the dual
-                # piecewise-linear objective in ratio order: every BOXED
-                # breakpoint passed flips to its opposite bound (a bound
-                # -status change, NO basis change), consuming
-                # |alpha_j|*(hi_j-lo_j) of the violated row's slope; the
-                # entering column is the breakpoint where the remaining
-                # slope crosses zero.  On 0/1 polytopes every structural
-                # column is boxed, so one long step absorbs whole groups of
-                # degenerate breakpoints that each cost a full pivot before.
-                viol = infeas  # (B, m_p); zero on padded rows (0-width)
-                rD = jnp.argmax(viol, axis=1).astype(jnp.int32)
-                rDmask = row_ids == rD[:, None]
-                rDf = rDmask.astype(jnp.float32)
-                viol_r = jnp.sum(jnp.where(rDmask, viol, 0.0), axis=1)
-                above_r = jnp.sum(rDf * above.astype(jnp.float32), axis=1) > 0
-                # tableau row r of B^-1 W, sign-folded: eligible is uniform
-                BIr = jnp.sum(BI[...] * rDf[:, :, None], axis=1)  # (B, m_p)
-                arow = mm(BIr, W_ref[...], 1, 0)  # (B, nc_p)
-                sgn_row = jnp.where(above_r, -1.0, 1.0)  # below: xB_r rises
-                a_eff = sgn_row[:, None] * arow
-                # FIXED nonbasics (lo==hi, e.g. equality-row slacks) can
-                # never move or flip — price them out entirely, or they
-                # poison the crossing test with zero-weight breakpoints
-                boxed = finite_lo & finite_hi
-                rngj = jnp.where(boxed, hiv - lov, BIG)
-                nfx = rngj > feas_tol
-                can_up_D = nbm & nfx & (~atm | free) & (a_eff < -pivot_tol)
-                can_dn_D = nbm & nfx & (atm | free) & (a_eff > pivot_tol)
-                elig_D = can_up_D | can_dn_D
-                any_elig_D = jnp.any(elig_D, axis=1)
-                # loose eligibility: a column just UNDER the pivot
-                # tolerance blocks the INFEASIBLE claim (f32 sign noise at
-                # the threshold caused 926 false claims in r3's A/B) — the
-                # lane claims ITERLIM instead and the host resolves it
-                lt8 = pivot_tol / 8
-                elig_loose = (nbm & nfx & (~atm | free) & (a_eff < -lt8)) | (
-                    nbm & nfx & (atm | free) & (a_eff > lt8)
-                )
-                any_loose = jnp.any(elig_loose, axis=1)
-                # dual ratio |d_q| / |alpha_rq| (wrong-sign f32 noise folds
-                # to 0 = a degenerate dual step; claims stay audited)
-                numer = jnp.where(
-                    can_up_D, jnp.maximum(d, 0.0), jnp.maximum(-d, 0.0)
-                )
-                absa = jnp.abs(arow)
-                safe_ar = jnp.where(absa > pivot_tol, absa, 1.0)
-                ratio_Dv = jnp.where(elig_D, numer / safe_ar, BIG)
-                # slope weight per breakpoint: boxed columns consume
-                # |alpha|*range and keep the walk going; non-boxed ones
-                # stop it (BIG weight = the slope crosses there for sure)
-                w_bp = jnp.where(elig_D, jnp.minimum(absa * rngj, BIG), 0.0)
-                wtot = jnp.sum(w_bp, axis=1)
-                # can some step absorb the violation?  Tolerance band: when
-                # the crossing lands exactly on the LAST breakpoint
-                # (wtot == viol_r, common on unit-range 0/1 columns), f32
-                # noise must not tip this false — the entering column just
-                # overshoots its opposite bound by O(tol), which the audit
-                # absorbs like any other f32 drift
-                crossed = wtot >= viol_r * 0.999 - feas_tol
-                tmax = jnp.max(jnp.where(elig_D, ratio_Dv, -1.0), axis=1) + 1.0
-
-                # binary-search the crossing ratio t*: S(t) = flip weight at
-                # ratio <= t.  24 halvings (each one masked sum, ~a matvec
-                # total); the result is VALID at any resolution — the window
-                # (tlo, thi] only narrows which breakpoint enters (wider = a
-                # shorter but still dual-feasible step), flips stay strictly
-                # below the entering ratio.
-                def bs_step(_i, tl_th):
-                    tl, th = tl_th
-                    tm = 0.5 * (tl + th)
-                    S = jnp.sum(
-                        jnp.where(ratio_Dv <= tm[:, None], w_bp, 0.0), axis=1
-                    )
-                    cross = S >= viol_r
-                    return (
-                        jnp.where(cross, tl, tm),
-                        jnp.where(cross, tm, th),
-                    )
-
-                tlo, thi = jax.lax.fori_loop(
-                    0, 24, bs_step, (jnp.full((B,), -1.0, jnp.float32), tmax)
-                )
-                cand = (
-                    elig_D
-                    & (ratio_Dv > tlo[:, None])
-                    & (ratio_Dv <= thi[:, None])
-                )
-                # Harris-style selection: among candidates within a relative
-                # tolerance of the window's min ratio, take the LARGEST
-                # pivot element (stability beats a marginally longer step)
-                rmin_D = jnp.min(jnp.where(cand, ratio_Dv, BIG), axis=1)
-                tieD = cand & (
-                    ratio_Dv <= rmin_D[:, None] * 1.001 + cost_tol
-                )
-                score_Dd = jnp.where(tieD, absa, -1.0)
-                score_Db = jnp.where(elig_D, -col_ids.astype(jnp.float32), -BIG)
-                score_D = jnp.where(eb(bland), score_Db, score_Dd)
-                q_D = jnp.argmax(score_D, axis=1).astype(jnp.int32)
-
-                q = jnp.where(dualm, q_D, q_p)
-                qmask = col_ids == q[:, None]
-                can_up_eff = jnp.where(
-                    eb(dualm),
-                    can_up_D.astype(jnp.int32),
-                    can_up.astype(jnp.int32),
-                )
-                # flip set: eligible boxed breakpoints strictly below the
-                # window (q's ratio is > tlo, so q is never in it); Bland
-                # -fallback lanes take plain min-index pivots, no flips
-                flipm0 = (
-                    elig_D & boxed & (ratio_Dv <= tlo[:, None]) & eb(~bland)
-                )
-                S_flips = jnp.sum(
-                    jnp.where(flipm0, absa * rngj, 0.0), axis=1
-                )
-                viol_after = jnp.maximum(viol_r - S_flips, 0.0)
-            else:
-                q = q_p
-                qmask = col_ids == q[:, None]
-                can_up_eff = can_up.astype(jnp.int32)
+            q = q_p
+            qmask = col_ids == q[:, None]
+            can_up_eff = can_up.astype(jnp.int32)
             sigma = jnp.where(
                 jnp.sum(
                     jnp.where(qmask, can_up_eff.astype(jnp.float32), 0.0),
@@ -737,32 +587,11 @@ def make_pallas_bb_batch(
             pick_b = jnp.where(tied, -basis_f, -BIG)
             pick = jnp.where(eb(bland), pick_b, pick_d)
             r = jnp.argmax(pick, axis=1).astype(jnp.int32)
-            if use_dual:
-                # dual lanes pivot on the chosen violated row; theta brings
-                # that basic exactly to its violated bound (other basics
-                # may overshoot — later dual iterations repair them)
-                r = jnp.where(dualm, rD, r)
             rmask = row_ids == r[:, None]
             r_ratio = jnp.sum(jnp.where(rmask, ratios, 0.0), axis=1)
-            if use_dual:
-                eta_rD = jnp.sum(jnp.where(rDmask, eta, 0.0), axis=1)
-                # primal step: the flips already absorbed S_flips of the
-                # violation; the entering column covers the remainder
-                theta_D = viol_after / jnp.where(
-                    jnp.abs(eta_rD) > 1e-12, jnp.abs(eta_rD), 1.0
-                )
-                # boolean algebra, not bool-typed selects (Mosaic i1 quirk)
-                row_blocks = dualm | (rmin < flip_theta)
-                theta = jnp.where(
-                    dualm,
-                    theta_D,
-                    jnp.where(rmin < flip_theta, r_ratio, flip_theta),
-                )
-                unbounded = ~jnp.isfinite(theta) & ~dualm
-            else:
-                row_blocks = rmin < flip_theta
-                theta = jnp.where(row_blocks, r_ratio, flip_theta)
-                unbounded = ~jnp.isfinite(theta)
+            row_blocks = rmin < flip_theta
+            theta = jnp.where(row_blocks, r_ratio, flip_theta)
+            unbounded = ~jnp.isfinite(theta)
 
             lp_new = jnp.where(
                 ~any_elig,
@@ -773,21 +602,6 @@ def make_pallas_bb_batch(
                     RUNNING,
                 ),
             ).astype(jnp.int32)
-            if use_dual:
-                # INFEASIBLE only on a DECISIVE dual-unbounded signal: no
-                # eligible column even at pivot_tol/8, or the violation
-                # clearly exceeds everything all flips could absorb;
-                # borderline lanes claim ITERLIM (host resolves) instead of
-                # forcing an exact LP on every f32 sign wobble
-                strong_inf = (~any_loose) | (
-                    viol_r - wtot > 10.0 * feas_tol
-                )
-                dual_stat = jnp.where(
-                    any_elig_D & crossed,
-                    RUNNING,
-                    jnp.where(strong_inf, INFEASIBLE, ITERLIM),
-                ).astype(jnp.int32)
-                lp_new = jnp.where(dualm, dual_stat, lp_new).astype(jnp.int32)
             lp_new = jnp.where(
                 stepping0, lp_new, lpstat[:, 0]
             )
@@ -800,17 +614,6 @@ def make_pallas_bb_batch(
             atup_flip = jnp.where(
                 qmask & eb(do_flip), 1 - atq[:, None], atup[...]
             )
-            if use_dual:
-                # apply the long-step bound flips: status change + one
-                # batched basic-value update (xB -= B^-1 W dz), no BI change
-                flip_app = flipm0 & eb(do_pivot & dualm)
-                atup_flip = jnp.where(flip_app, 1 - atup[...], atup_flip)
-                dz = jnp.where(
-                    flip_app, jnp.where(can_up_D, rngj, -rngj), 0.0
-                )
-                Wdz = mm(dz, W_ref[...], 1, 1)  # (B, m_p)
-                flip_dx = -jnp.sum(BI[...] * Wdz[:, None, :], axis=2)
-
             piv = jnp.sum(jnp.where(rmask, alpha, 0.0), axis=1)
             safe_piv = jnp.where(jnp.abs(piv) > 1e-12, piv, 1.0)
             rowv = jnp.sum(
@@ -823,11 +626,6 @@ def make_pallas_bb_batch(
 
             p_col = jnp.sum(jnp.where(rmask, basis[...], 0), axis=1)
             leave_up = jnp.sum(rmask.astype(jnp.float32) * hits_up, axis=1)
-            if use_dual:
-                # dual pivot: the leaving basic exits AT its violated bound
-                leave_up = jnp.where(
-                    dualm, above_r.astype(jnp.float32), leave_up
-                )
             pmask = col_ids == p_col[:, None]
             atup_piv = jnp.where(
                 pmask & eb(do_pivot),
@@ -855,8 +653,6 @@ def make_pallas_bb_batch(
             )
             newval = zq + sigma * theta
             xb_step = xb + eta * theta[:, None]
-            if use_dual:
-                xb_step = xb_step + flip_dx
             xb_step = jnp.where(rmask & eb(do_pivot), newval[:, None], xb_step)
             xB[...] = jnp.where(eb(do_pivot | do_flip), xb_step, xb)
 
@@ -889,15 +685,7 @@ def make_pallas_bb_batch(
                 p1_primal, infeas_sum, jnp.sum(cB[...] * xB[...], axis=1)
             )
             last = lobj[:, 0]
-            if use_dual:
-                # dual iterations drive the (phase-2) objective UP toward
-                # the optimum; primal/phase-1 drive theirs down (boolean
-                # algebra, not a bool select — Mosaic i1 quirk)
-                progressed = (dualm & (cur_obj > last + 1e-9)) | (
-                    ~dualm & (cur_obj < last - 1e-9)
-                )
-            else:
-                progressed = cur_obj < last - 1e-9
+            progressed = cur_obj < last - 1e-9
             st_new = jnp.where(progressed | ~stepping0, 0, stall[:, 0] + 1)
             stall[...] = jnp.where(eb(stepping0), sc(st_new), stall[...])
             lobj[...] = jnp.where(eb(stepping0), sc(cur_obj), lobj[...])
@@ -1014,16 +802,6 @@ def make_pallas_bb_batch(
                         0.0,
                     )
                 )
-                if use_dual:
-                    # dual-feasibility provenance for descendants/siblings:
-                    # BRANCH/PRUNE/LEAF closed with a claimed-optimal basis;
-                    # ITERLIM/INFEAS leave mid-solve / phase-1 bases behind
-                    dm_new = (
-                        (act == ACT_BRANCH)
-                        | (act == ACT_PRUNE)
-                        | (act == ACT_LEAF)
-                    ).astype(jnp.int32)
-                    dmode[...] = jnp.where(eb(tr), sc(dm_new), dmode[...])
                 lgs_ref[...] = jnp.where(
                     f_here3, scal_row[:, None, :], lgs_ref[...]
                 )
@@ -1279,7 +1057,6 @@ def make_pallas_bb_batch(
             pltpu.VMEM((B, 128), jnp.int32),  # ncnt
             pltpu.VMEM((B, 128), jnp.int32),  # depth
             pltpu.VMEM((B, 128), jnp.int32),  # restart
-            pltpu.VMEM((B, 128), jnp.int32),  # dmode (dual-feasible basis)
             pltpu.VMEM((B, D), jnp.int32),  # st_j
             pltpu.VMEM((B, D), jnp.float32),  # st_fl
             pltpu.VMEM((B, D), jnp.float32),  # st_ol

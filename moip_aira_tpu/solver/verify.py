@@ -273,11 +273,13 @@ class LPVerifier:
             ok_i[sf] = (sup < 0.0) & s1 & solvable[sf]
 
             # ---- single-row Farkas rescue --------------------------------
-            # The dual-simplex kernel claims infeasibility off ONE violated
-            # row (no eligible entering column for it); the combined
-            # phase-1 vector above mixes every violated row's multiplier
-            # and often fails where the single row certifies (measured:
-            # 2586 failed infeasibility audits on 2AP20 with MOIP_DUAL=1).
+            # A kernel's infeasibility claim typically hinges on ONE
+            # violated row (no eligible entering column for it); the
+            # combined phase-1 vector above mixes every violated row's
+            # multiplier and often fails where the single row certifies
+            # (measured on the since-deleted dual kernel: 2586 failed
+            # infeasibility audits on 2AP20; the rescue stays because the
+            # primal's claims hinge the same way).
             # For y = sgn * (B^-T e_r): a = y.W has a_{basic k} = sgn*d_rk,
             # and sup over the box of a.z equals (max over nonbasics of
             # xB_r) - lo_r (below case; mirrored above), so sup < 0 proves

@@ -113,7 +113,7 @@ def _key_for(lowered) -> str:
     except OSError:
         pass
     # kernel-shaping knobs with their effective defaults, so an explicitly
-    # -set default (MOIP_DUAL=0) and an unset one key identically; the list
+    # -set default (MOIP_FRAG_CAP=2048) and an unset one key identically; the list
     # is the shared registry every kernel-shaping read goes through
     # (utils/knobs.py), so a new knob cannot silently miss the key
     from moip_aira_tpu.utils.knobs import KERNEL_KNOBS

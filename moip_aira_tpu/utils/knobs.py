@@ -17,9 +17,9 @@ from __future__ import annotations
 import os
 
 #: knob -> canonical "unset" default used for cache-key hashing, so an
-#: explicitly-set default (MOIP_DUAL=0) and an unset knob key identically
+#: explicitly-set default (MOIP_FRAG_CAP=2048) and an unset knob key
+#: identically
 KERNEL_KNOBS = {
-    "MOIP_DUAL": "0",
     "MOIP_FRAG_P1_STALL": "",
     "MOIP_FRAG_VMEM_MB": "44",
     "MOIP_FRAG_CAP": "2048",

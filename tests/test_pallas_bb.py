@@ -295,32 +295,5 @@ def test_warm_root_matches_cold_and_pivots_less():
     assert min(vals) == pytest.approx(ref.obj, abs=1e-6)
 
 
-@pytest.mark.parametrize("seed", [1, 2, 5])
-def test_fragment_dual_long_step_exactness(seed, monkeypatch):
-    """MOIP_DUAL=1 (bound-flipping dual + Harris tie-break): the fragment
-    must keep the full exactness contract — every claim replayable, the
-    incumbent feasible, incumbent+open-node closure = the true optimum —
-    while warm intra-fragment children reoptimise through the dual path."""
-    monkeypatch.setenv("MOIP_DUAL", "1")
-    A, lo, hi, cobj = make_knapsack(seed)
-    r = run_fragment(A, lo, hi, cobj)
-    acts = collections.Counter(r["lgs"][: r["nlog"], F_ACTION].astype(int))
-    assert acts.get(ACT_BRANCH, 0) > 0  # the dual path actually engaged
-    check_exactness(r)
-
-
-def test_fragment_dual_assignment_exactness(monkeypatch):
-    """Dual path on the (degenerate) assignment family with split bounds:
-    the objective-bound row forces fractional LPs, children are repaired by
-    dual long steps, exactness must hold."""
-    from moip_aira_tpu.io import read_problem
-
-    monkeypatch.setenv("MOIP_DUAL", "1")
-    p = read_problem(f"{EXAMPLES}/2AP05.lp")
-    A_full = np.vstack([p.A, p.C])
-    lo = np.concatenate([p.lb, p.row_lb, [-np.inf] * p.objcnt])
-    hi = np.concatenate([p.ub, p.row_ub, [np.inf] * p.objcnt])
-    # constrain objective 1 so the stage-0 LP goes fractional
-    hi[-1] = 28.0
-    r = run_fragment(A_full, lo, hi, p.C[0], F=64, D=32)
-    check_exactness(r)
+# (the MOIP_DUAL exactness tier was deleted with the dual-simplex path in
+# round 5 — see solver/pallas_bb.py's tombstone note for the measurements)

@@ -2,12 +2,14 @@
 
 Runs warm (one warm-up solve, one timed solve) through the production wave
 backend and prints one JSON line with elapsed seconds, host-record counts,
-and golden parity.  The knob under test (e.g. MOIP_DUAL) is set by the
-caller's environment; run one setting per process so kernel caches and
-env-read-at-trace-time knobs can't bleed between arms.
+and golden parity.  The knob under test (e.g. MOIP_FRAG_VMEM_MB, or any
+MOIP_* flag) is set by the caller's environment; run one setting per
+process so kernel caches and env-read-at-trace-time knobs can't bleed
+between arms.  (Named for its first user, the round-3/4 dual-simplex A/B
+that ended in the path's deletion — the harness is knob-agnostic.)
 
 Usage:
-    MOIP_DUAL=1 python tools/ab_dual.py 2AP20
+    MOIP_FRAG_VMEM_MB=88 python tools/ab_dual.py 2AP20
     python tools/ab_dual.py 2AP20 --single   # skip warm-up (long instances)
 """
 
@@ -42,7 +44,9 @@ def main() -> int:
     be = WaveLexBackend(p)
     row = {
         "name": args.name,
-        "MOIP_DUAL": os.environ.get("MOIP_DUAL", "0"),
+        "knobs": {
+            k: v for k, v in os.environ.items() if k.startswith("MOIP_")
+        },
     }
     if not args.single:
         t0 = time.monotonic()

@@ -5,7 +5,7 @@ Usage:
 
 Runs one warm-up solve (compile + caches), then profiles a second solve
 and prints the top functions by cumulative and by self time.  The knob
-environment (MOIP_DUAL etc.) applies as for tools/ab_dual.py.
+environment (MOIP_* knobs) applies as for tools/ab_dual.py.
 """
 
 from __future__ import annotations
