@@ -265,11 +265,41 @@ class APIPSolver:
             if cols.size == fam.N and side_ok(cols):
                 consider_cols(cols)
 
+        # iterative DFS over (forbid, forced) states — an op stack with
+        # apply/undo entries instead of recursion, so a long forbid chain
+        # (depth can reach O(n) before bounds bite) can never hit Python's
+        # recursion ceiling on the big ladder sizes (2AP200+)
         forbid = np.zeros(n, dtype=bool)
-        node_best = self._node(j, rows, us, forbid, [], consider_cols, side_ok,
-                               lambda: best_v)
-        if node_best == "infeasible_root":
-            return None, None
+        forced: List[int] = []
+        root = True
+        stack: List[Tuple[str, int]] = [("visit", -1)]
+        while stack:
+            op, e = stack.pop()
+            if op == "visit":
+                verdict = self._judge_node(
+                    j, rows, us, forbid, forced, consider_cols, side_ok,
+                    lambda: best_v,
+                )
+                if root and verdict == "infeasible_root":
+                    return None, None
+                root = False
+                if isinstance(verdict, int):
+                    # branch cell: forbid-first (toward side-feasibility),
+                    # then force; ops pushed in reverse execution order
+                    stack.append(("pop_force", verdict))
+                    stack.append(("push_force", verdict))
+                    stack.append(("pop_forbid", verdict))
+                    stack.append(("push_forbid", verdict))
+            elif op == "push_forbid":
+                forbid[e] = True
+                stack.append(("visit", -1))
+            elif op == "pop_forbid":
+                forbid[e] = False
+            elif op == "push_force":
+                forced.append(e)
+                stack.append(("visit", -1))
+            else:  # pop_force
+                forced.pop()
         if best_cols is None:
             return None, None
         x = np.zeros(n, dtype=np.float64)
@@ -281,13 +311,17 @@ class APIPSolver:
         assert int(f[best_cols].sum()) == best_v, "ap_bb: objective mismatch"
         return best_v, x
 
-    # -- one node: dual bound, closures, recursion --------------------------
-    def _node(self, j, rows, us, forbid, forced, consider_cols, side_ok,
-              get_best):
-        """DFS node.  Mutates nothing it doesn't restore; incumbents flow
-        through ``consider_cols``/``get_best`` closures (global across the
-        whole IP: node matchings honour node restrictions, so any
-        side-feasible one is IP-feasible)."""
+    # -- one node: dual bound, closures, branch decision ---------------------
+    def _judge_node(self, j, rows, us, forbid, forced, consider_cols,
+                    side_ok, get_best):
+        """Judge one DFS node; incumbents flow through ``consider_cols``/
+        ``get_best`` closures (global across the whole IP: node matchings
+        honour node restrictions, so any side-feasible one is IP-feasible).
+
+        Returns "infeasible_root" (no matching at all — meaningful only
+        when the caller is at the root), None (node closed: infeasible,
+        pruned, or solved exactly), or an int branch cell for the caller's
+        DFS driver to forbid/force."""
         fam = self.fam
         self.nodes += 1
         if self.nodes > NODE_LIMIT:
@@ -371,17 +405,7 @@ class APIPSolver:
         cand = [c for c in x_lo.tolist() if not forbid[c] and c not in forced]
         if not cand:
             return None  # fully pinned matching already judged above
-        e = max(cand, key=lambda c: int(g[c]))
-        # forbid-first: pushes the relaxation toward side-feasibility
-        forbid[e] = True
-        self._node(j, rows, us, forbid, forced, consider_cols, side_ok,
-                   get_best)
-        forbid[e] = False
-        forced.append(e)
-        self._node(j, rows, us, forbid, forced, consider_cols, side_ok,
-                   get_best)
-        forced.pop()
-        return None
+        return max(cand, key=lambda c: int(g[c]))
 
 
 class APLexBackend:

@@ -76,7 +76,12 @@ def make_pallas_lp_batch(
     n = nc - m
     m_p = _round_up(m, 8)
     nc_p = _round_up(n + m_p, 128)
-    # grid-chunk the batch so per-program VMEM stays bounded (~16MB budget)
+    # grid-chunk the batch so per-program VMEM stays bounded (~16MB budget).
+    # 256 is the measured sweet spot: chunks run sequentially but each
+    # while-loop runs to its slowest LANE, so bigger chunks trade fewer
+    # launches for longer degenerate tails (2AP05 bench A/B: CHUNK 1024 =
+    # 1886 lex-IP/s vs CHUNK 256 = 2756) — and short waves skip whole
+    # pad-only chunks, a win bigger chunks forfeit.
     CHUNK = 256
     while CHUNK * (m_p * nc_p + 6 * nc_p) * 4 > 10 * 2**20 and CHUNK > 8:
         CHUNK //= 2

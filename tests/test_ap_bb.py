@@ -186,16 +186,23 @@ def test_golden_4ap05_auto_routing():
     assert (res.points == g).all()
 
 
-@pytest.mark.slow
-def test_golden_2ap40():
-    p = read_problem("examples/2AP40.lp")
-    res = solve_front(p, n_workers=2, backend="apbb", dp="off")
+def _bundled(name: str) -> np.ndarray:
     rows = []
-    with open("examples/2AP40.out") as fh:
+    with open(f"examples/{name}.out") as fh:
         for line in fh:
             t = line.split()
             if t and all(x.lstrip("-").isdigit() for x in t):
                 rows.append([int(x) for x in t])
-    g = np.asarray(rows, dtype=np.int64)
+    return np.asarray(rows, dtype=np.int64)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["2AP40", "2AP60", "2AP80", "2AP100"])
+def test_golden_ladder(name):
+    """The bundled ladder goldens (oracle-spot-checked at generation,
+    examples/<name>.verify.json) reproduce through the engine."""
+    p = read_problem(f"examples/{name}.lp")
+    res = solve_front(p, n_workers=2, backend="apbb", dp="off")
+    g = _bundled(name)
     assert res.points.shape == g.shape
     assert (res.points == g).all()

@@ -170,11 +170,12 @@ def test_golden_kp2d50():
 
 
 @pytest.mark.slow
-def test_golden_kp2d100():
-    p = read_problem("examples/KP2D100.lp")
+@pytest.mark.parametrize("name", ["KP2D100", "KP2D200"])
+def test_golden_kp2d_ladder(name):
+    p = read_problem(f"examples/{name}.lp")
     res = solve_front(p, n_workers=2, backend="kpbb", dp="off")
     golden = []
-    with open("examples/KP2D100.out") as fh:
+    with open(f"examples/{name}.out") as fh:
         for line in fh:
             t = line.split()
             if t and all(x.lstrip("-").isdigit() for x in t):
