@@ -217,6 +217,11 @@ def render(rows: dict) -> str:
         "counted in host_pruned/court stats, not in LP counters, so LP",
         "counts across MOIP_COURT arms are not like-for-like.  `round` =",
         "the build round the row was measured in (stale rows self-identify).",
+        "2AP200/2AP500 rows are parity-`unverified`: the LP-based numpy",
+        "oracle cannot re-derive n >= 40,000 instances, so no golden meets",
+        "the examples/README contract there — the correctness case is the",
+        "engine's int64 acceptance audits plus golden/differential parity",
+        "at every smaller size of the same family.",
         "",
         "| instance | n vars | backend | elapsed s | ref t1-c1 s | speedup | points | parity | round |",
         "|---|---|---|---|---|---|---|---|---|",

@@ -167,13 +167,46 @@ class APIPSolver:
         self.fam = fam
         self.nodes = 0
         self.matchings = 0
+        #: reused (N, N) cost buffer — profiling showed matrix construction
+        #: (np.full + fancy writes) cost ~12x the Hungarian itself at N=5
+        self._M = np.empty((fam.N, fam.N), dtype=np.float64)
+        self._rows_idx = np.arange(fam.N)
 
-    # -- core exact primitive ---------------------------------------------
+    # -- core exact primitives ----------------------------------------------
+    def _node_ctx(self, forbid: np.ndarray, forced: Sequence[int]):
+        """Per-node allowed-cell index array, or None on a forced clash.
+
+        Folds the node's forbids AND the line-blocking of its forced cells
+        into one index array once per node — _match_min runs 3-8 times per
+        node with different blends but the SAME restrictions (profiled:
+        redoing this per matching was half of _match_min's cost).
+        """
+        fam = self.fam
+        ok = ~forbid
+        if forced:
+            fj = np.asarray(forced, dtype=np.int64)
+            ra, cb = fam.colA[fj], fam.colB[fj]
+            if (
+                len(set(ra.tolist())) != fj.size
+                or len(set(cb.tolist())) != fj.size
+            ):
+                return None  # two forced cells share a line: node empty
+            if np.any(forbid[fj]):
+                return None  # a forced cell is forbidden: node empty
+            rowb = np.zeros(fam.N, dtype=bool)
+            rowb[ra] = True
+            colb = np.zeros(fam.N, dtype=bool)
+            colb[cb] = True
+            ok &= ~(rowb[fam.colA] | colb[fam.colB])
+            ok[fj] = True
+        return np.flatnonzero(ok)
+
     def _match_min(
-        self, blend: np.ndarray, forbid: np.ndarray, forced: Sequence[int]
+        self, blend: np.ndarray, allowed: np.ndarray
     ) -> Tuple[Optional[int], Optional[np.ndarray]]:
         """Exact min of integer ``blend``.x over the node's matchings.
 
+        ``allowed`` is the node's cell-index array from _node_ctx.
         Returns (value, cols) with cols the selected column ids, or
         (None, None) when no perfect matching honours the node — an exact
         infeasibility proof.  ``blend`` must be int64; the magnitude
@@ -183,20 +216,9 @@ class APIPSolver:
         N = fam.N
         bmax = int(np.abs(blend).max(initial=0))
         assert (bmax + 1) * N < BIG // 4, "ap_bb: blend magnitude unsafe"
-        M = np.full((N, N), float(BIG))
-        ok = ~forbid
-        M[fam.colA[ok], fam.colB[ok]] = blend[ok].astype(np.float64)
-        if forced:
-            fj = np.asarray(forced, dtype=np.int64)
-            ra, cb = fam.colA[fj], fam.colB[fj]
-            if len(set(ra.tolist())) != fj.size or len(set(cb.tolist())) != fj.size:
-                return None, None  # two forced cells share a line
-            keep = M[ra, cb].copy()
-            if np.any(keep >= BIG / 2):
-                return None, None  # a forced cell is forbidden
-            M[ra, :] = float(BIG)
-            M[:, cb] = float(BIG)
-            M[ra, cb] = keep
+        M = self._M
+        M.fill(float(BIG))
+        M[fam.colA[allowed], fam.colB[allowed]] = blend[allowed]
         from scipy.optimize import linear_sum_assignment
 
         ri, ci = linear_sum_assignment(M)
@@ -229,6 +251,10 @@ class APIPSolver:
         f = fam.V[j]
         rows = [int(r) for r in cov_rows]
         us = [int(u) for u in cov_u]
+        # vectorised side-row machinery shared with _judge_node (profiling:
+        # per-row python sums were ~20% of the whole 4AP05 solve)
+        self._Vrows = fam.V[rows] if rows else np.zeros((0, n), np.int64)
+        self._us = np.asarray(us, dtype=np.int64)
 
         best_v: Optional[int] = None
         best_cols: Optional[np.ndarray] = None
@@ -244,8 +270,10 @@ class APIPSolver:
                 return True
             return False
 
+        Vr, us_a = self._Vrows, self._us
+
         def side_ok(cols: np.ndarray) -> bool:
-            return all(int(fam.V[r][cols].sum()) <= u for r, u in zip(rows, us))
+            return bool(np.all(Vr[:, cols].sum(axis=1) <= us_a))
 
         # ---- incumbent seeding (pool + hint: advisory only) --------------
         if pool is not None and pool.shape[0]:
@@ -327,7 +355,10 @@ class APIPSolver:
         if self.nodes > NODE_LIMIT:
             raise NodeLimitExceeded(f"ap_bb node limit ({NODE_LIMIT})")
         f = fam.V[j]
-        v0, cols0 = self._match_min(f, forbid, forced)
+        allowed = self._node_ctx(forbid, forced)
+        if allowed is None:
+            return None  # forced clash (never at the root: no forced there)
+        v0, cols0 = self._match_min(f, allowed)
         if v0 is None:
             return "infeasible_root" if not forced and not forbid.any() else None
         if side_ok(cols0):
@@ -337,21 +368,18 @@ class APIPSolver:
         best = get_best()
         if best is not None and v0 >= best:
             return None  # even the unconstrained min can't improve
-        # most-violated side row at the unconstrained matching
-        viols = [
-            (int(fam.V[r][cols0].sum()) - u, r, u)
-            for r, u in zip(rows, us)
-            if int(fam.V[r][cols0].sum()) > u
-        ]
-        viols.sort(reverse=True)
-        _, r_star, u_star = viols[0]
+        # most-violated side row at the unconstrained matching (vectorised:
+        # side_ok above already failed, so a positive violation exists)
+        excess = self._Vrows[:, cols0].sum(axis=1) - self._us
+        k_star = int(np.argmax(excess))
+        r_star, u_star = rows[k_star], us[k_star]
         g = fam.V[r_star]
 
         # single-row infeasibility: lexicographic blend Q*g + f minimises g
         # first (Q strictly dominates f's range), tie-breaking by f
         frange = int(np.abs(f).max(initial=0)) * fam.N + 1
         Q = frange
-        vg, colsg = self._match_min(Q * g + f, forbid, forced)
+        vg, colsg = self._match_min(Q * g + f, allowed)
         if vg is None:
             return None  # matchings vanished under the node (forced clash)
         gmin = int(g[colsg].sum())
@@ -376,7 +404,7 @@ class APIPSolver:
                 break
             d = gcd(dF, dG)
             p, q = dF // d, dG // d
-            Mv, colsm = self._match_min(q * f + p * g, forbid, forced)
+            Mv, colsm = self._match_min(q * f + p * g, allowed)
             if Mv is None:
                 return None
             cross = q * F_lo + p * G_lo  # == q*F_hi + p*G_hi by construction

@@ -54,8 +54,22 @@ if "--engine" not in " ".join(sys.argv) or "wave" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 
 
-def verify_sample(p, points, k_sample: int, seed: int = 0) -> dict:
-    """Oracle spot-check of a bi-objective front; returns the record."""
+class _PointTimeout(Exception):
+    pass
+
+
+def verify_sample(
+    p, points, k_sample: int, seed: int = 0, point_budget: int = 300
+) -> dict:
+    """Oracle spot-check of a bi-objective front; returns the record.
+
+    ``k_sample=0`` checks the two lex extremes only (their own-box and
+    adjacent-gap solves are the cheap ones — mid-front binding boxes can
+    cost the LP-based oracle unbounded MIP time at ladder sizes).  Each
+    point's three solves run under ``point_budget`` wall seconds
+    (SIGALRM); a point that blows it is recorded as an oracle DNF, same
+    as one that exhausts the oracle's MIP node budget.
+    """
     import numpy as np
 
     from moip_aira_tpu.sense import Sense
@@ -74,12 +88,19 @@ def verify_sample(p, points, k_sample: int, seed: int = 0) -> dict:
     checks = []
     dnf = []
     t0 = time.monotonic()
+    import signal
+
+    def _alarm(_s, _f):
+        raise _PointTimeout(f"point budget {point_budget}s")
+
     for i in idx:
         a_i, b_i = int(points[i][0]), int(points[i][1])
         rec = {"i": i, "point": [a_i, b_i]}
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(point_budget)
         try:
             checks.append(_verify_point(p, be, points, i, a_i, b_i, sign, rec))
-        except RuntimeError as e:
+        except (RuntimeError, _PointTimeout) as e:
             # the LP-based oracle hit its MIP resource limit on this box
             # (far-end knapsack IPs are exactly what it cannot do — the
             # reason the combinatorial engines exist).  Record the DNF
@@ -89,13 +110,19 @@ def verify_sample(p, points, k_sample: int, seed: int = 0) -> dict:
             dnf.append(i)
             checks.append(rec)
             print(f"[verify] point {i} {[a_i, b_i]}: ORACLE DNF", flush=True)
-    all_ok = all(
+        finally:
+            signal.alarm(0)
+    bools = [
         v for rec in checks for k, v in rec.items() if isinstance(v, bool)
-    )
+    ]
+    # a run where EVERY point DNF'd completed zero checks — that is not a
+    # pass, it is no verification at all; require at least one
+    all_ok = bool(bools) and all(bools)
     return {
         "sampled": idx,
         "front_size": int(f),
         "all_ok": bool(all_ok),
+        "checks_completed": len(bools),
         "oracle_dnf_points": dnf,
         "oracle_seconds": round(time.monotonic() - t0, 1),
         "checks": checks,
@@ -151,9 +178,13 @@ def main() -> int:
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--engine", default="numpy",
                     choices=("numpy", "kpbb", "apbb", "wave", "auto"))
-    ap.add_argument("--verify-sample", type=int, default=0, metavar="K",
+    ap.add_argument("--verify-sample", type=int, default=-1, metavar="K",
                     help="oracle-verify K random points + both extremes "
-                    "(bi-objective only); record to examples/<name>.verify.json")
+                    "(K=0: extremes only; bi-objective only); record to "
+                    "examples/<name>.verify.json")
+    ap.add_argument("--verify-point-budget", type=int, default=300,
+                    metavar="S", help="wall-second cap per verified point "
+                    "(blown = recorded oracle DNF, not a crash)")
     ap.add_argument("--no-bundle-lp", action="store_true")
     args = ap.parse_args()
 
@@ -191,8 +222,9 @@ def main() -> int:
     print(f"[make_golden] {args.name}: {res.solution_count} points, "
           f"{res.ip_count} IPs, {dt:.1f}s -> {out}", flush=True)
 
-    if args.verify_sample > 0:
-        rec = verify_sample(p, res.points, args.verify_sample)
+    if args.verify_sample >= 0:
+        rec = verify_sample(p, res.points, args.verify_sample,
+                            point_budget=args.verify_point_budget)
         rec["engine"] = args.engine
         rec["generated_seconds"] = round(dt, 1)
         rec["date"] = time.strftime("%Y-%m-%d")
