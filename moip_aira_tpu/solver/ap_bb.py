@@ -78,6 +78,8 @@ POOL_CAP = 256
 #: terminates on its own — each step visits a new matching vertex)
 BISECT_CAP = 64
 
+from scipy.optimize import linear_sum_assignment as _lsa  # noqa: E402
+
 
 class NodeLimitExceeded(RuntimeError):
     pass
@@ -219,9 +221,7 @@ class APIPSolver:
         M = self._M
         M.fill(float(BIG))
         M[fam.colA[allowed], fam.colB[allowed]] = blend[allowed]
-        from scipy.optimize import linear_sum_assignment
-
-        ri, ci = linear_sum_assignment(M)
+        ri, ci = _lsa(M)
         self.matchings += 1
         total = M[ri, ci]
         if np.any(total >= BIG / 2):
