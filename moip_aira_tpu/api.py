@@ -168,7 +168,12 @@ def solve_front(
 
     if dp == "auto":
         dp = os.environ.get("MOIP_DP", "auto")
-    if dp != "off":
+    # small single-capacity instances skip the device DP: the combinatorial
+    # engine closes the whole ladder host-side in ~0.15 s where the DP pays
+    # ~1 s of axon tunnel latency (measured 2KP50: kpbb 0.151 s vs DP 1.3 s;
+    # crossover ~n=80 — 2KP100 DP 0.1 s vs kpbb 0.42 s).  dp='on' still
+    # forces the DP attempt.
+    if dp == "on" or (dp != "off" and problem.n >= 80):
         from moip_aira_tpu.solver.kp_front import kp2_front
 
         pts = kp2_front(problem, engine="auto")
