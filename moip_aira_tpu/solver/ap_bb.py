@@ -294,6 +294,36 @@ class APIPSolver:
         def side_ok(cols: np.ndarray) -> bool:
             return bool(np.all(Vr[:, cols].sum(axis=1) <= us_a))
 
+        # tiny sides: the WHOLE IP solves exactly by feasibility-filtered
+        # enumeration of all N! matchings — one vectorised pass, no
+        # branch-and-bound (4AP05's k=4 boxes cost ~16 B&B nodes/IP on
+        # single-row bounds; this replaces them with ~5 numpy ops)
+        if self._perms is not None:
+            cm = fam.pair2col[self._rows_idx, self._perms]  # (N!, N)
+            okp = np.all(cm >= 0, axis=1)  # perms using only real cells
+            if not okp.all():
+                cm = cm[okp]
+            if cm.shape[0] == 0:
+                return None, None
+            vals = f[cm].sum(axis=1)  # (P,) int64, exact
+            if rows:
+                feas = np.all(
+                    Vr[:, cm].sum(axis=2) <= us_a[:, None], axis=0
+                )
+            else:
+                feas = np.ones(cm.shape[0], dtype=bool)
+            if not feas.any():
+                return None, None
+            k = int(np.argmin(np.where(feas, vals, np.iinfo(np.int64).max)))
+            best_cols = cm[k]
+            best_v = int(vals[k])
+            x = np.zeros(n, dtype=np.float64)
+            x[best_cols] = 1.0
+            for r, u in zip(rows, us):
+                assert int(fam.V[r][best_cols].sum()) <= u
+            assert int(f[best_cols].sum()) == best_v
+            return best_v, x
+
         # ---- incumbent seeding (pool + hint: advisory only) --------------
         if pool is not None and pool.shape[0]:
             sel = pool.astype(bool)
